@@ -1,0 +1,85 @@
+"""Headline benchmark: batched TTS sampling throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "rtf_nfe32", "value": ..., "unit": "decode_s_per_audio_s", "vs_baseline": ...}
+
+Baseline: the reference's offline TensorRT-LLM RTF 0.0402 at NFE=16 on an L20
+(runtime/triton_trtllm/README.md:65); the canonical quality setting is NFE=32
+(utils_infer.py:54). We report RTF at NFE=32 with the full folded-CFG sampler
++ Vocos decode; vs_baseline = baseline_rtf / our_rtf at equal NFE (>1 = faster).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from f5e_tts_tpu.config import CFMConfig, preset
+    from f5e_tts_tpu.models import cfm as fcfm
+    from f5e_tts_tpu.models import dit as fdit
+    from f5e_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+
+    model_cfg = preset("F5TTS_v1_Base")
+    arch = model_cfg.arch
+    cfm = CFMConfig()
+    vocab = 2545
+
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, vocab)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
+    voc_cfg = VocosConfig()
+    voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
+    voc_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, voc_params)
+
+    # benchmark shape: batch 1 (matching the reference's offline bs=1 RTF),
+    # 10 s of generated audio after a ~5 s prompt
+    b = 1
+    hop, sr = 256, 24_000
+    ref_frames, total_frames = 472, 1416  # ~5 s prompt, ~15 s total
+    n = 1536  # padded bucket
+    nfe = 32
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((b, ref_frames, arch.mel_dim)).astype(np.float32))
+    lens = jnp.full((b,), ref_frames, jnp.int32)
+    duration = jnp.full((b,), total_frames, jnp.int32)
+    text_ids = jnp.asarray(rng.integers(0, vocab, (b, 160)).astype(np.int32))
+    inputs = fcfm.prepare_inputs(cond, lens, duration, n, text_ids=text_ids)
+
+    def synthesize(params, voc_params, inputs, key):
+        out, _ = fcfm.sample(params, state, arch, cfm, inputs, key,
+                             steps=nfe, cfg_strength=2.0, sway_coef=-1.0,
+                             use_mask=False, compute_dtype=jnp.bfloat16)
+        return vocos_decode(voc_params, voc_cfg, out.astype(jnp.bfloat16),
+                            compute_dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(42)
+    # warmup / compile
+    wav = synthesize(params, voc_params, inputs, key)
+    wav.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        wav = synthesize(params, voc_params, inputs, jax.random.fold_in(key, i))
+    wav.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_s = total_frames * hop / sr  # full output duration (reference RTF convention)
+    rtf = dt / audio_s
+    baseline_rtf = 0.0402 * 2  # L20 TRT-LLM at NFE=16, scaled to NFE=32 cost
+    print(json.dumps({
+        "metric": "rtf_nfe32_bs1",
+        "value": round(rtf, 5),
+        "unit": "decode_s_per_audio_s",
+        "vs_baseline": round(baseline_rtf / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

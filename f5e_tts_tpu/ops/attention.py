@@ -1,0 +1,194 @@
+"""Multi-head attention core.
+
+Default path uses `jax.nn.dot_product_attention`, which XLA lowers to a fused
+flash-attention-style kernel on TPU. Heads-last (B, N, H, Dh) layout is used to
+avoid transposes (XLA's preferred layout); a Pallas flash kernel can slot in
+behind the same signature later.
+
+reference semantics: src/f5_tts/model/modules.py:435-503 (AttnProcessor) —
+non-causal SDPA, optional qk RMSNorm per head, RoPE applied to q/k (optionally
+only the first `pe_attn_head` heads), padding mask on keys, masked fill of the
+output rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from f5e_tts_tpu.ops import nn as fnn
+from f5e_tts_tpu.ops.rope import apply_rotary
+
+
+def sdpa(
+    q: jnp.ndarray,  # (B, N, H, Dh)
+    k: jnp.ndarray,  # (B, M, H, Dh)
+    v: jnp.ndarray,  # (B, M, H, Dh)
+    mask: Optional[jnp.ndarray] = None,  # (B, M) True=keep, key padding mask
+) -> jnp.ndarray:
+    """Fused scaled-dot-product attention, (B, N, H, Dh) out."""
+    if mask is not None:
+        # jax.nn.dot_product_attention mask: (B, 1, N, M) broadcastable bool
+        attn_mask = mask[:, None, None, :]
+    else:
+        attn_mask = None
+    return jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+
+
+def attention(
+    p: dict,
+    x: jnp.ndarray,  # (B, N, D)
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,  # (B, N) True=keep
+    rope_cos: Optional[jnp.ndarray] = None,  # (N, Dh)
+    rope_sin: Optional[jnp.ndarray] = None,
+    pe_attn_head: Optional[int] = None,
+    qk_norm: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Self-attention block matching the reference AttnProcessor.
+
+    p: {to_q, to_k, to_v, to_out: linear params, [q_norm, k_norm: rmsnorm params]}
+    """
+    b, n, _ = x.shape
+    q = fnn.linear(p["to_q"], x, compute_dtype)
+    k = fnn.linear(p["to_k"], x, compute_dtype)
+    v = fnn.linear(p["to_v"], x, compute_dtype)
+    dh = q.shape[-1] // heads
+    q = q.reshape(b, n, heads, dh)
+    k = k.reshape(b, n, heads, dh)
+    v = v.reshape(b, n, heads, dh)
+
+    if qk_norm == "rms_norm":
+        q = fnn.rmsnorm(p["q_norm"], q)
+        k = fnn.rmsnorm(p["k_norm"], k)
+
+    if rope_cos is not None:
+        cos = rope_cos[None, :n, None, :]
+        sin = rope_sin[None, :n, None, :]
+        if pe_attn_head is not None:
+            # rope only on the first pe_attn_head heads
+            # (reference: src/f5_tts/model/modules.py:474-477)
+            pn = pe_attn_head
+            q = jnp.concatenate([apply_rotary(q[:, :, :pn], cos, sin), q[:, :, pn:]], axis=2)
+            k = jnp.concatenate([apply_rotary(k[:, :, :pn], cos, sin), k[:, :, pn:]], axis=2)
+        else:
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+
+    o = sdpa(q, k, v, mask=mask)
+    o = o.reshape(b, n, heads * dh)
+    o = fnn.linear(p["to_out"], o, compute_dtype)
+    if mask is not None:
+        o = jnp.where(mask[:, :, None], o, 0.0).astype(o.dtype)
+    return o
+
+
+def attention_init(key, dim: int, heads: int, dim_head: int, qk_norm: Optional[str] = None):
+    ks = jax.random.split(key, 4)
+    inner = heads * dim_head
+    p = {
+        "to_q": fnn.linear_init(ks[0], dim, inner),
+        "to_k": fnn.linear_init(ks[1], dim, inner),
+        "to_v": fnn.linear_init(ks[2], dim, inner),
+        "to_out": fnn.linear_init(ks[3], inner, dim),
+    }
+    if qk_norm == "rms_norm":
+        p["q_norm"] = fnn.rmsnorm_init(dim_head)
+        p["k_norm"] = fnn.rmsnorm_init(dim_head)
+    return p
+
+
+def joint_attention(
+    p: dict,
+    x: jnp.ndarray,  # (B, N, D) audio stream
+    c: jnp.ndarray,  # (B, Nt, Dc) text/context stream
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,  # (B, N) audio padding mask
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    c_rope_cos: Optional[jnp.ndarray] = None,
+    c_rope_sin: Optional[jnp.ndarray] = None,
+    context_pre_only: bool = False,
+    qk_norm: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """Joint (MMDiT) attention: concat audio+context kv, split outputs.
+
+    reference: src/f5_tts/model/modules.py:510-604 (JointAttnProcessor).
+    Returns (x_out, c_out); c_out is None when context_pre_only.
+    """
+    b, n, _ = x.shape
+    nt = c.shape[1]
+    dh = None
+
+    def proj(pp, y, length):
+        nonlocal dh
+        t = fnn.linear(pp, y, compute_dtype)
+        dh = t.shape[-1] // heads
+        return t.reshape(b, length, heads, dh)
+
+    q = proj(p["to_q"], x, n)
+    k = proj(p["to_k"], x, n)
+    v = proj(p["to_v"], x, n)
+    cq = proj(p["to_q_c"], c, nt)
+    ck = proj(p["to_k_c"], c, nt)
+    cv = proj(p["to_v_c"], c, nt)
+
+    if qk_norm == "rms_norm":
+        q = fnn.rmsnorm(p["q_norm"], q)
+        k = fnn.rmsnorm(p["k_norm"], k)
+        cq = fnn.rmsnorm(p["c_q_norm"], cq)
+        ck = fnn.rmsnorm(p["c_k_norm"], ck)
+
+    if rope_cos is not None:
+        q = apply_rotary(q, rope_cos[None, :n, None, :], rope_sin[None, :n, None, :])
+        k = apply_rotary(k, rope_cos[None, :n, None, :], rope_sin[None, :n, None, :])
+    if c_rope_cos is not None:
+        cq = apply_rotary(cq, c_rope_cos[None, :nt, None, :], c_rope_sin[None, :nt, None, :])
+        ck = apply_rotary(ck, c_rope_cos[None, :nt, None, :], c_rope_sin[None, :nt, None, :])
+
+    q = jnp.concatenate([q, cq], axis=1)
+    k = jnp.concatenate([k, ck], axis=1)
+    v = jnp.concatenate([v, cv], axis=1)
+
+    if mask is not None:
+        full_mask = jnp.concatenate([mask, jnp.ones((b, nt), dtype=bool)], axis=1)
+    else:
+        full_mask = None
+
+    o = sdpa(q, k, v, mask=full_mask).reshape(b, n + nt, heads * dh)
+    xo, co = o[:, :n], o[:, n:]
+    xo = fnn.linear(p["to_out"], xo, compute_dtype)
+    if not context_pre_only:
+        co = fnn.linear(p["to_out_c"], co, compute_dtype)
+    else:
+        co = None
+    if mask is not None:
+        xo = jnp.where(mask[:, :, None], xo, 0.0).astype(xo.dtype)
+    return xo, co
+
+
+def joint_attention_init(key, dim: int, context_dim: int, heads: int, dim_head: int,
+                         context_pre_only: bool = False, qk_norm: Optional[str] = None):
+    ks = jax.random.split(key, 8)
+    inner = heads * dim_head
+    p = {
+        "to_q": fnn.linear_init(ks[0], dim, inner),
+        "to_k": fnn.linear_init(ks[1], dim, inner),
+        "to_v": fnn.linear_init(ks[2], dim, inner),
+        "to_q_c": fnn.linear_init(ks[3], context_dim, inner),
+        "to_k_c": fnn.linear_init(ks[4], context_dim, inner),
+        "to_v_c": fnn.linear_init(ks[5], context_dim, inner),
+        "to_out": fnn.linear_init(ks[6], inner, dim),
+    }
+    if not context_pre_only:
+        p["to_out_c"] = fnn.linear_init(ks[7], inner, context_dim)
+    if qk_norm == "rms_norm":
+        p["q_norm"] = fnn.rmsnorm_init(dim_head)
+        p["k_norm"] = fnn.rmsnorm_init(dim_head)
+        p["c_q_norm"] = fnn.rmsnorm_init(dim_head)
+        p["c_k_norm"] = fnn.rmsnorm_init(dim_head)
+    return p

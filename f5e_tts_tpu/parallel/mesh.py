@@ -1,0 +1,151 @@
+"""Device mesh + sharding rules.
+
+Axes:
+- "data": batch / data parallelism (replaces Accelerate DDP,
+  reference trainer.py:63-68; gradient all-reduce becomes implicit in pjit)
+- "model": tensor parallelism over attention heads / FFN hidden
+  (replaces TRT-LLM --tp_size engine splits, convert_checkpoint.py:16-23)
+- "seq": sequence/context parallelism over mel frames
+  (replaces TRT-LLM --cp_size, convert_checkpoint.py:189)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from f5e_tts_tpu.config import DiTConfig, MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(cfg.model, 1)
+    seq = max(cfg.seq, 1)
+    data = cfg.data if cfg.data > 0 else n // (model * seq)
+    assert data * model * seq == n, f"mesh {data}x{model}x{seq} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model, seq)
+    return Mesh(arr, axis_names=("data", "model", "seq"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, seq_axis: Optional[int] = None) -> NamedSharding:
+    """Shard dim 0 over 'data' (and optionally one dim over 'seq')."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    if seq_axis is not None:
+        spec[seq_axis] = "seq"
+    return NamedSharding(mesh, P(*spec))
+
+
+# ---------------------------------------------------------------------------
+# DiT tensor-parallel param specs
+# ---------------------------------------------------------------------------
+
+
+def dit_param_spec(cfg: DiTConfig) -> dict:
+    """PartitionSpec pytree for DiT params (matching init_dit structure).
+
+    TP layout (Megatron-style, what TRT-LLM's split_q_tp/split_matrix_tp do —
+    convert_checkpoint.py:16-23): qkv/ff1 column-parallel on the output dim,
+    out-proj/ff2 row-parallel on the input dim. Block params carry a leading
+    depth axis (lax.scan stacking), hence the extra None.
+    """
+    col = P(None, None, "model")  # stacked (depth, in, out): shard out
+    row = P(None, "model", None)  # stacked (depth, in, out): shard in
+    vec_col = P(None, "model")  # stacked bias of column-parallel layer
+
+    def rep(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    spec = {
+        "time_embed": {"mlp1": {"w": P(), "b": P()}, "mlp2": {"w": P(), "b": P()}},
+        "text_embed": {
+            "embed": {"w": P()},
+            "blocks": [
+                {
+                    "dwconv": {"w": P(), "b": P()},
+                    "norm": {"g": P(), "b": P()},
+                    "pwconv1": {"w": P(None, "model"), "b": P("model")},
+                    "grn": {"gamma": P("model"), "beta": P("model")},
+                    "pwconv2": {"w": P("model", None), "b": P()},
+                }
+                for _ in range(cfg.conv_layers)
+            ],
+        },
+        "input_embed": {
+            "proj": {"w": P(), "b": P()},
+            "conv1": {"w": P(), "b": P()},
+            "conv2": {"w": P(), "b": P()},
+        },
+        "blocks": {
+            "attn_norm": {"w": P(), "b": P()},
+            "attn": {
+                "to_q": {"w": col, "b": vec_col},
+                "to_k": {"w": col, "b": vec_col},
+                "to_v": {"w": col, "b": vec_col},
+                "to_out": {"w": row, "b": P(None, None)},
+            },
+            "ff1": {"w": col, "b": vec_col},
+            "ff2": {"w": row, "b": P(None, None)},
+        },
+        "norm_out": {"w": P(), "b": P()},
+        "proj_out": {"w": P(), "b": P()},
+    }
+    if cfg.qk_norm == "rms_norm":
+        spec["blocks"]["attn"]["q_norm"] = {"g": P(None, None)}
+        spec["blocks"]["attn"]["k_norm"] = {"g": P(None, None)}
+    if cfg.long_skip_connection:
+        spec["long_skip"] = {"w": P()}
+    if cfg.ppg.use_ppg:
+        spec["ppg_embed"] = {
+            "pre": {"w": P(), "b": P()},
+            "convs": [{"w": P(), "b": P()} for _ in range(3)],
+            "bns": [{"g": P(), "b": P()} for _ in range(3)],
+            "post": {"w": P(), "b": P()},
+        }
+    if cfg.codebook.use_codebook:
+        spec["quantizer"] = {
+            "vars": P(),
+            "weight_proj": {"layer_0": {"w": P(), "b": P()}},
+        }
+    return spec
+
+
+def tree_map_with_spec(fn, tree, spec):
+    """Map fn(leaf, spec_leaf) over parallel (tree, spec) structures.
+
+    PartitionSpec is itself a pytree (tuple subclass), so plain tree.map would
+    descend into it; this walks dicts/lists manually and treats P as a leaf.
+    """
+    if isinstance(spec, P):
+        return fn(tree, spec)
+    if isinstance(tree, dict):
+        return {k: tree_map_with_spec(fn, tree[k], spec[k]) for k in tree}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(tree_map_with_spec(fn, t, s) for t, s in zip(tree, spec))
+    raise TypeError(f"structure mismatch: {type(tree)} vs {type(spec)}")
+
+
+def shard_dit_params(params, mesh: Mesh, cfg: DiTConfig):
+    """Place a DiT param pytree onto the mesh per dit_param_spec."""
+    spec = dit_param_spec(cfg)
+    return tree_map_with_spec(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec)
+
+
+def sharding_tree(mesh: Mesh, spec_tree):
+    """Convert a spec pytree (P leaves) to a NamedSharding pytree."""
+    if isinstance(spec_tree, P):
+        return NamedSharding(mesh, spec_tree)
+    if isinstance(spec_tree, dict):
+        return {k: sharding_tree(mesh, v) for k, v in spec_tree.items()}
+    if isinstance(spec_tree, (list, tuple)):
+        return type(spec_tree)(sharding_tree(mesh, v) for v in spec_tree)
+    raise TypeError(type(spec_tree))

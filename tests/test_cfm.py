@@ -1,0 +1,150 @@
+"""CFM sampler + loss tests (tiny model, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from f5e_tts_tpu.config import CFMConfig, DiTConfig
+from f5e_tts_tpu.models import cfm as fcfm
+from f5e_tts_tpu.models import dit as fdit
+
+TINY = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=10,
+                 text_dim=32, conv_layers=1, dropout=0.0)
+CFM = CFMConfig()
+VOCAB = 20
+
+
+@pytest.fixture(scope="module")
+def model(rng_factory=np.random.default_rng):
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), TINY, VOCAB)
+    # perturb proj_out so the flow is nonzero
+    r = rng_factory(7)
+    params["proj_out"] = {
+        "w": jnp.asarray(r.standard_normal((TINY.dim, TINY.mel_dim)).astype(np.float32)) * 0.05,
+        "b": jnp.zeros((TINY.mel_dim,), jnp.float32),
+    }
+    return params, state
+
+
+def test_sway_timesteps():
+    """reference cfm.py:467-469: t <- t + s(cos(pi/2 t) - 1 + t)."""
+    ts = fcfm.sway_timesteps(8, -1.0)
+    assert ts.shape == (9,)
+    assert ts[0] == 0.0 and abs(ts[-1] - 1.0) < 1e-6
+    lin = np.linspace(0, 1, 9)
+    ref = lin + (-1.0) * (np.cos(np.pi / 2 * lin) - 1 + lin)
+    np.testing.assert_allclose(ts, ref, rtol=1e-5, atol=1e-6)
+    # sway -1 front-loads steps
+    assert ts[1] < lin[1]
+
+
+def _mk_inputs(rng, b=2, n=24, nt=6):
+    cond = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    lens = jnp.asarray([8, 10])
+    duration = jnp.asarray([20, 24])
+    text = jnp.asarray(rng.integers(0, VOCAB, (b, nt)).astype(np.int32))
+    return fcfm.prepare_inputs(cond, lens, duration, n, text_ids=text)
+
+
+def test_sample_shapes_and_prompt_region(model, rng):
+    params, state = model
+    inputs = _mk_inputs(rng)
+    out, traj = fcfm.sample(params, state, TINY, CFM, inputs, jax.random.PRNGKey(1),
+                            steps=4, cfg_strength=2.0, sway_coef=-1.0,
+                            compute_dtype=jnp.float32)
+    assert out.shape == (2, 24, TINY.mel_dim)
+    assert traj.shape == (5, 2, 24, TINY.mel_dim)
+    # prompt region overwritten with cond (reference cfm.py:476)
+    out_np = np.asarray(out)
+    cond_np = np.asarray(inputs.cond)
+    mask_np = np.asarray(inputs.cond_mask)
+    np.testing.assert_allclose(out_np[mask_np], cond_np[mask_np], atol=1e-6)
+
+
+def test_batch_invariance(model, rng):
+    """Per-sample fold_in noise: sample 0 alone == sample 0 in a batch."""
+    params, state = model
+    inputs = _mk_inputs(rng)
+    key = jax.random.PRNGKey(3)
+    out_b, _ = fcfm.sample(params, state, TINY, CFM, inputs, key, steps=2,
+                           cfg_strength=1.0, compute_dtype=jnp.float32)
+    single = fcfm.SamplerInputs(
+        cond=inputs.cond[:1], cond_mask=inputs.cond_mask[:1],
+        duration=inputs.duration[:1], text_ids=inputs.text_ids[:1], ppg=None)
+    out_s, _ = fcfm.sample(params, state, TINY, CFM, single, key, steps=2,
+                           cfg_strength=1.0, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_s[0]), np.asarray(out_b[0]), rtol=1e-4, atol=1e-5)
+
+
+def test_cfg_fold_equals_two_calls(model, rng):
+    """Folded 2B-batch CFG == two separate branch evaluations combined."""
+    params, state = model
+    inputs = _mk_inputs(rng)
+    b, n, _ = inputs.cond.shape
+    mask = None
+
+    # manual: two separate forwards
+    te_c = fdit.text_embed_fn(params, TINY, inputs.text_ids, b, n, jnp.zeros((b,), bool), jnp.float32)
+    te_u = fdit.text_embed_fn(params, TINY, inputs.text_ids, b, n, jnp.ones((b,), bool), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    t = jnp.full((b,), 0.4, jnp.float32)
+    pred_c = fdit.dit_sample_step(params, state, TINY, x=x, cond=inputs.cond, text_embed=te_c,
+                                  time=t, drop_audio_cond=jnp.zeros((b,), bool),
+                                  compute_dtype=jnp.float32)
+    pred_u = fdit.dit_sample_step(params, state, TINY, x=x, cond=jnp.zeros_like(inputs.cond),
+                                  text_embed=te_u, time=t, drop_audio_cond=jnp.ones((b,), bool),
+                                  compute_dtype=jnp.float32)
+    cfg = 2.0
+    ref = pred_c + (pred_c - pred_u) * cfg
+
+    step_fn = fcfm._folded_cfg_flow(
+        params, state, TINY, inputs,
+        [dict(drop_audio=False, drop_text=False, drop_ppg=False),
+         dict(drop_audio=True, drop_text=True, drop_ppg=True)],
+        [1.0 + cfg, -cfg], mask, jnp.float32)
+    ours = step_fn(jnp.asarray(0.4), x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-4, atol=1e-5)
+
+
+def test_sample_tts_weights():
+    """Branch weights reproduce a_spk*(s-t) + a_txt*(t-n) + n."""
+    a_spk, a_txt = 2.5, 3.0
+    w = np.array([1.0 - a_txt, a_txt - a_spk, a_spk])
+    flows = np.random.default_rng(0).standard_normal((3, 4))
+    null, txt, spk = flows
+    ref = a_spk * (spk - txt) + a_txt * (txt - null) + null
+    np.testing.assert_allclose(w @ flows, ref, rtol=1e-6)
+
+
+def test_cfm_loss(model, rng):
+    params, state = model
+    b, n, nt = 2, 24, 6
+    mel = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, VOCAB, (b, nt)).astype(np.int32))
+    out = fcfm.cfm_loss(params, state, TINY, CFM,
+                        mel=mel, mel_lens=jnp.asarray([20, 24]), text_ids=text,
+                        rng=jax.random.PRNGKey(5), training=False,
+                        compute_dtype=jnp.float32)
+    assert np.isfinite(float(out.loss))
+    assert float(out.loss) > 0
+    # cond zeros out the masked span
+    cond = np.asarray(out.cond)
+    assert (cond == 0).any()
+
+
+def test_cfm_loss_grads(model, rng):
+    params, state = model
+    b, n, nt = 2, 16, 4
+    mel = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, VOCAB, (b, nt)).astype(np.int32))
+
+    def loss_fn(p):
+        return fcfm.cfm_loss(p, state, TINY, CFM, mel=mel, mel_lens=jnp.asarray([16, 12]),
+                             text_ids=text, rng=jax.random.PRNGKey(6), training=False,
+                             compute_dtype=jnp.float32).loss
+
+    g = jax.grad(loss_fn)(params)
+    flat, _ = jax.tree.flatten(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in flat)

@@ -1,0 +1,107 @@
+"""GSPMD sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from f5e_tts_tpu.config import CFMConfig, DiTConfig, MeshConfig, TrainConfig
+from f5e_tts_tpu.models import dit as fdit
+from f5e_tts_tpu.parallel import make_mesh
+from f5e_tts_tpu.parallel.mesh import dit_param_spec, tree_map_with_spec
+from f5e_tts_tpu.train import step as fstep
+
+TINY = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=8,
+                 text_dim=32, conv_layers=1, dropout=0.0)
+VOCAB = 16
+
+
+def test_eight_devices():
+    assert jax.device_count() == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
+    assert mesh.shape == {"data": 4, "model": 2, "seq": 1}
+    mesh = make_mesh(MeshConfig(data=-1, model=2))
+    assert mesh.shape["data"] == 4
+
+
+def test_tp_sharded_forward_matches_replicated(rng):
+    """DiT forward with TP=2 sharded params == replicated forward."""
+    mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), TINY, VOCAB)
+    params["proj_out"] = {
+        "w": jnp.asarray(rng.standard_normal((TINY.dim, TINY.mel_dim)).astype(np.float32)) * 0.02,
+        "b": jnp.zeros((TINY.mel_dim,), jnp.float32),
+    }
+
+    b, n, nt = 4, 16, 8
+    x = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, VOCAB, (b, nt)).astype(np.int32))
+    time = jnp.full((b,), 0.4, jnp.float32)
+    f = jnp.zeros((b,), bool)
+
+    def fwd(p, x, cond, text, time):
+        pred, _ = fdit.dit_forward(p, state, TINY, x=x, cond=cond, text_ids=text,
+                                   time=time, drop_audio_cond=f, drop_text=f, drop_ppg=f,
+                                   compute_dtype=jnp.float32)
+        return pred
+
+    ref = np.asarray(jax.jit(fwd)(params, x, cond, text, time))
+
+    sharded = tree_map_with_spec(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, dit_param_spec(TINY))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    conds = jax.device_put(cond, NamedSharding(mesh, P("data", None, None)))
+    texts = jax.device_put(text, NamedSharding(mesh, P("data", None)))
+    times = jax.device_put(time, NamedSharding(mesh, P("data")))
+    with mesh:
+        out = np.asarray(jax.jit(fwd)(sharded, xs, conds, texts, times))
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=1e-5)
+
+
+def test_train_step_dp_tp(rng):
+    """Full jitted train step over a dp=4 x tp=2 mesh updates and stays finite."""
+    mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
+    params, model_state = fdit.init_dit(jax.random.PRNGKey(0), TINY, VOCAB)
+    params = tree_map_with_spec(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, dit_param_spec(TINY))
+
+    train = TrainConfig(learning_rate=1e-3, num_warmup_updates=2)
+    optimizer = fstep.make_optimizer(train, total_updates=10)
+    ts = fstep.init_train_state(params, model_state, optimizer)
+
+    b, n, nt = 8, 16, 8
+    batch = {
+        "mel": jax.device_put(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32),
+                              NamedSharding(mesh, P("data", None, None))),
+        "mel_lens": jax.device_put(np.full((b,), n, np.int32), NamedSharding(mesh, P("data"))),
+        "text_ids": jax.device_put(rng.integers(0, VOCAB, (b, nt)).astype(np.int32),
+                                   NamedSharding(mesh, P("data", None))),
+    }
+    step = jax.jit(
+        lambda ts, batch, rng_: fstep.train_step(
+            ts, batch, rng_, arch=TINY, cfm=CFMConfig(), optimizer=optimizer,
+            compute_dtype=jnp.float32),
+        donate_argnums=(0,))
+    with mesh:
+        ts1, m1 = step(ts, batch, jax.random.PRNGKey(1))
+        loss1 = float(m1.loss)
+        ts2, m2 = step(ts1, batch, jax.random.PRNGKey(1))
+        loss2 = float(m2.loss)
+    assert np.isfinite(loss1) and np.isfinite(loss2)
+    assert int(ts2.update) == 2
+    assert int(ts2.skipped) == 0
+    assert float(m1.grad_norm) > 0
+
+
+def test_dryrun_multichip_entry():
+    """The driver-facing dryrun runs on the 8-device CPU mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
