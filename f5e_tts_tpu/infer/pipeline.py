@@ -1,0 +1,252 @@
+"""Inference orchestration: the `infer_process` equivalent.
+
+reference: src/f5_tts/infer/utils_infer.py:367-556. Host-side dynamics (text
+chunking, byte-ratio duration estimate, cross-fade stitching) stay in Python;
+each chunk's synthesis is ONE jitted sampler call on a static duration bucket,
+so XLA compiles once per bucket and every subsequent utterance in that bucket
+is compile-free (the reference's TRT engine achieves this with one fixed max
+shape; buckets give us the same without wasting FLOPs on short text).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
+from f5e_tts_tpu.infer import audio as faudio
+from f5e_tts_tpu.models import cfm as fcfm
+from f5e_tts_tpu.ops.mel import mel_spectrogram
+from f5e_tts_tpu.utils import text as ftext
+
+
+def chunk_text(text: str, max_chars: int = 135) -> List[str]:
+    """Split text at sentence boundaries into <= max_chars (utf-8 bytes) chunks.
+
+    reference: utils_infer.py:70-97.
+    """
+    chunks: List[str] = []
+    current = ""
+    sentences = re.split(r"(?<=[;:,.!?])\s+|(?<=[；：，。！？])", text)
+    for sentence in sentences:
+        if len(current.encode("utf-8")) + len(sentence.encode("utf-8")) <= max_chars:
+            current += sentence + " " if sentence and len(sentence[-1].encode("utf-8")) == 1 else sentence
+        else:
+            if current:
+                chunks.append(current.strip())
+            current = sentence + " " if sentence and len(sentence[-1].encode("utf-8")) == 1 else sentence
+    if current:
+        chunks.append(current.strip())
+    return chunks
+
+
+def estimate_duration(ref_audio_len: int, ref_text: str, gen_text: str,
+                      speed: float = 1.0, fix_duration: Optional[float] = None,
+                      sample_rate: int = 24_000, hop_length: int = 256) -> int:
+    """Frame-count estimate from byte-length ratio (utils_infer.py:464-471)."""
+    if fix_duration is not None:
+        return int(fix_duration * sample_rate / hop_length)
+    if len(gen_text.encode("utf-8")) < 10:
+        speed = 0.3  # very short text slows down (utils_infer.py:457-459)
+    ref_bytes = max(len(ref_text.encode("utf-8")), 1)
+    gen_bytes = len(gen_text.encode("utf-8"))
+    return ref_audio_len + int(ref_audio_len / ref_bytes * gen_bytes / speed)
+
+
+DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def pick_bucket(duration: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    """Smallest static bucket >= duration (cap at the largest)."""
+    for b in buckets:
+        if duration <= b:
+            return b
+    return buckets[-1]
+
+
+def cross_fade_stitch(waves: List[np.ndarray], sr: int, cross_fade_duration: float) -> np.ndarray:
+    """Linear cross-fade concatenation (utils_infer.py:520-556)."""
+    if not waves:
+        return np.zeros(0, np.float32)
+    if cross_fade_duration <= 0:
+        return np.concatenate(waves)
+    final = waves[0]
+    for nxt in waves[1:]:
+        n = int(cross_fade_duration * sr)
+        n = min(n, len(final), len(nxt))
+        if n <= 0:
+            final = np.concatenate([final, nxt])
+            continue
+        fade_out = np.linspace(1.0, 0.0, n)
+        fade_in = np.linspace(0.0, 1.0, n)
+        overlap = final[-n:] * fade_out + nxt[:n] * fade_in
+        final = np.concatenate([final[:-n], overlap, nxt[n:]])
+    return final.astype(np.float32)
+
+
+@dataclass
+class TTSEngine:
+    """Holds model params + configs and serves synthesis requests.
+
+    The reference equivalent is the (load_model -> infer_process) pair of
+    utils_infer.py plus the F5TTS api class (api.py:23-149).
+    """
+
+    params: dict
+    state: dict
+    arch: DiTConfig
+    vocab: dict
+    mel: MelConfig = field(default_factory=MelConfig)
+    cfm: CFMConfig = field(default_factory=CFMConfig)
+    infer_cfg: InferConfig = field(default_factory=InferConfig)
+    tokenizer: str = "pinyin"
+    vocoder_decode: Optional[Callable[[jnp.ndarray], np.ndarray]] = None
+    compute_dtype: object = jnp.bfloat16
+    buckets: Sequence[int] = DEFAULT_BUCKETS
+    text_pad_to: int = 32  # text length bucket granularity (compile stability)
+    use_intersperse: bool = False  # align-loss/cross-mask models intersperse text
+
+    def tokenize(self, texts: Sequence[str]) -> np.ndarray:
+        if self.vocab is None:
+            return ftext.list_str_to_bytes(list(texts))
+        if self.tokenizer in ("pinyin", "char-level-pinyin"):
+            toks = ftext.convert_char_to_pinyin(list(texts))
+        elif self.tokenizer == "phone-level-pinyin":
+            toks = ftext.convert_char_to_finer_pinyin(list(texts))
+        else:  # char / custom / g2p-mix pre-tokenized
+            toks = [list(t) for t in texts]
+        if self.use_intersperse:
+            toks = ftext.intersperse(toks)
+        return ftext.list_str_to_idx(toks, self.vocab)
+
+    def synthesize_chunk(
+        self,
+        ref_mel: np.ndarray,  # (1, ref_frames, mel)
+        full_text: str,  # ref_text + gen_text
+        duration: int,
+        *,
+        seed: int = 0,
+        nfe_steps: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        sway: Optional[float] = None,
+        mode: str = "tts_cfg",  # "cfg" | "tts" | "vc"
+        alpha_spk: float = 1.0,
+        alpha_txt: float = 1.0,
+        alpha_ppg: float = 1.0,
+        ppg: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """One jitted sampler call on a static bucket -> generated mel (frames, d)."""
+        icfg = self.infer_cfg
+        nfe = nfe_steps if nfe_steps is not None else icfg.nfe_steps
+        cfg = cfg_strength if cfg_strength is not None else icfg.cfg_strength
+        sway = sway if sway is not None else icfg.sway_sampling_coef
+
+        ref_frames = ref_mel.shape[1]
+        text_ids = self.tokenize([full_text])
+        # duration floor: at least text len + 1 and ref + 1 (cfm.py:403-406)
+        duration = max(duration, text_ids.shape[1] + 1, ref_frames + 1)
+        duration = min(duration, icfg.max_duration)
+        bucket = pick_bucket(duration, self.buckets)
+
+        nt = min(-(-text_ids.shape[1] // self.text_pad_to) * self.text_pad_to, bucket)
+        padded = np.full((1, nt), -1, np.int32)
+        padded[0, : min(text_ids.shape[1], nt)] = text_ids[0, :nt]
+
+        inputs = fcfm.prepare_inputs(
+            jnp.asarray(ref_mel), jnp.asarray([ref_frames]), jnp.asarray([duration]),
+            bucket, text_ids=jnp.asarray(padded),
+            ppg=jnp.asarray(ppg) if ppg is not None else None,
+        )
+        key = jax.random.PRNGKey(seed)
+        if mode == "tts":
+            out, _ = fcfm.sample_tts(self.params, self.state, self.arch, self.cfm, inputs,
+                                     key, steps=nfe, alpha_spk=alpha_spk, alpha_txt=alpha_txt,
+                                     sway_coef=sway, use_mask=True,
+                                     compute_dtype=self.compute_dtype)
+        elif mode == "vc":
+            out, _ = fcfm.sample_vc(self.params, self.state, self.arch, self.cfm, inputs,
+                                    key, steps=nfe, alpha_spk=alpha_spk, alpha_ppg=alpha_ppg,
+                                    sway_coef=sway, use_mask=True,
+                                    compute_dtype=self.compute_dtype)
+        else:
+            out, _ = fcfm.sample(self.params, self.state, self.arch, self.cfm, inputs,
+                                 key, steps=nfe, cfg_strength=cfg, sway_coef=sway,
+                                 use_mask=True, compute_dtype=self.compute_dtype)
+        out = np.asarray(out[0], np.float32)
+        return out[ref_frames:duration]  # generated region only (utils_infer.py:495)
+
+    def infer(
+        self,
+        ref_wav: np.ndarray,
+        ref_sr: int,
+        ref_text: str,
+        gen_text: str,
+        *,
+        seed: int = 0,
+        speed: Optional[float] = None,
+        fix_duration: Optional[float] = None,
+        nfe_steps: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        sway: Optional[float] = None,
+        cross_fade_duration: Optional[float] = None,
+        streaming: bool = False,
+        chunk_size: int = 2048,
+    ):
+        """Full pipeline: normalize ref -> chunk text -> synth -> vocode -> stitch.
+
+        reference: utils_infer.py:367-556 (infer_process + infer_batch_process).
+        Returns (wave, sr, mel) or a streaming generator of (chunk, sr).
+        """
+        icfg = self.infer_cfg
+        speed = speed if speed is not None else icfg.speed
+        xf = cross_fade_duration if cross_fade_duration is not None else icfg.cross_fade_duration
+
+        audio, orig_rms = faudio.normalize_rms(ref_wav.astype(np.float32), icfg.target_rms)
+        audio = faudio.resample(audio, ref_sr, self.mel.target_sample_rate)
+        ref_mel = np.asarray(mel_spectrogram(jnp.asarray(audio[None, :]), self.mel))
+        ref_audio_len = audio.shape[-1] // self.mel.hop_length
+
+        if ref_text and len(ref_text[-1].encode("utf-8")) == 1:
+            ref_text = ref_text + " "
+        # ref-length-derived chunk budget (utils_infer.py:386-388)
+        max_chars = int(
+            len(ref_text.encode("utf-8")) / max(audio.shape[-1] / self.mel.target_sample_rate, 1e-6) * (22 - audio.shape[-1] / self.mel.target_sample_rate)
+        ) if ref_text else 135
+        max_chars = max(max_chars, 10)
+        chunks = chunk_text(gen_text, max_chars=max_chars)
+
+        def gen():
+            for i, chunk in enumerate(chunks):
+                duration = estimate_duration(ref_audio_len, ref_text, chunk, speed,
+                                             fix_duration, self.mel.target_sample_rate,
+                                             self.mel.hop_length)
+                mel_gen = self.synthesize_chunk(
+                    ref_mel, ref_text + chunk, duration, seed=seed + i,
+                    nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway)
+                if self.vocoder_decode is not None:
+                    wav = np.asarray(self.vocoder_decode(jnp.asarray(mel_gen[None])))[0]
+                else:
+                    wav = np.zeros(mel_gen.shape[0] * self.mel.hop_length, np.float32)
+                if 0 < orig_rms < icfg.target_rms:
+                    wav = wav * orig_rms / icfg.target_rms
+                yield wav, mel_gen
+
+        if streaming:
+            def stream():
+                for wav, _ in gen():
+                    for j in range(0, len(wav), chunk_size):
+                        yield wav[j : j + chunk_size], self.mel.target_sample_rate
+            return stream()
+
+        waves, mels = [], []
+        for wav, mel_gen in gen():
+            waves.append(wav)
+            mels.append(mel_gen)
+        final = cross_fade_stitch(waves, self.mel.target_sample_rate, xf)
+        combined_mel = np.concatenate(mels, axis=0) if mels else np.zeros((0, self.mel.n_mel_channels))
+        return final, self.mel.target_sample_rate, combined_mel

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from f5e_tts_tpu.config import CFMConfig, DiTConfig
+from f5e_tts_tpu.models import backbone as fbb
 from f5e_tts_tpu.models import dit as fdit
 from f5e_tts_tpu.utils.masks import lens_to_mask, mask_from_frac_lengths
 
@@ -150,9 +151,9 @@ def _folded_cfg_flow(params, state, arch: DiTConfig, inputs: SamplerInputs,
     ppg_embeds = []
     for br in branches:
         drop_text = jnp.full((b,), br["drop_text"], bool)
-        te = fdit.text_embed_fn(params, arch, inputs.text_ids, b, n, drop_text, compute_dtype)
+        te = fbb.precompute_text_embed(params, arch, inputs.text_ids, b, n, drop_text, compute_dtype)
         text_embeds.append(te)
-        if arch.ppg.use_ppg:
+        if fbb.uses_ppg(arch):
             drop_ppg = jnp.full((b,), br["drop_ppg"], bool)
             pe, _ = fdit.ppg_embed_fn(params, state, arch, inputs.ppg, b, n, drop_ppg,
                                       training=False, compute_dtype=compute_dtype)
@@ -161,7 +162,7 @@ def _folded_cfg_flow(params, state, arch: DiTConfig, inputs: SamplerInputs,
             ppg_embeds.append(None)
 
     text_embed_k = jnp.concatenate(text_embeds, axis=0)  # (K*B, N, D)
-    ppg_embed_k = jnp.concatenate(ppg_embeds, axis=0) if arch.ppg.use_ppg else None
+    ppg_embed_k = jnp.concatenate(ppg_embeds, axis=0) if fbb.uses_ppg(arch) else None
     cond_k = jnp.tile(inputs.cond, (k, 1, 1))
     drop_audio_k = jnp.concatenate(
         [jnp.full((b,), br["drop_audio"], bool) for br in branches], axis=0)
@@ -171,7 +172,7 @@ def _folded_cfg_flow(params, state, arch: DiTConfig, inputs: SamplerInputs,
     def step_fn(t, x):
         xk = jnp.tile(x, (k, 1, 1)).astype(compute_dtype)
         tk = jnp.full((k * b,), t, jnp.float32)
-        pred = fdit.dit_sample_step(
+        pred = fbb.sample_step(
             params, state, arch,
             x=xk, cond=cond_k, text_embed=text_embed_k, time=tk,
             drop_audio_cond=drop_audio_k, ppg_embed=ppg_embed_k,
@@ -370,7 +371,7 @@ def cfm_loss(
     u1 = jax.random.uniform(r_drop1)
     u2 = jax.random.uniform(r_drop2)
     drop_audio = u1 < cfm.audio_drop_prob
-    if arch.ppg.use_ppg:
+    if fbb.uses_ppg(arch):
         p = arch.ppg.combined_cond_drop_prob
         c1, c2, c3 = p[0], p[0] + p[1], p[0] + p[1] + p[2]
         drop_text = (u2 >= c1) & (u2 < c2) | (u2 >= c3)
@@ -383,7 +384,7 @@ def cfm_loss(
         drop_ppg = jnp.asarray(True)
 
     bb = jnp.ones((b,), bool)
-    pred, extras = fdit.dit_forward(
+    pred, extras = fbb.forward_train(
         params, state, arch,
         x=phi.astype(compute_dtype), cond=cond.astype(compute_dtype),
         text_ids=text_ids, time=time,
