@@ -26,8 +26,9 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     model = max(cfg.model, 1)
     seq = max(cfg.seq, 1)
     data = cfg.data if cfg.data > 0 else n // (model * seq)
-    assert data * model * seq == n, f"mesh {data}x{model}x{seq} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model, seq)
+    need = data * model * seq
+    assert need <= n, f"mesh {data}x{model}x{seq} needs {need} devices, have {n}"
+    arr = np.asarray(devices[:need]).reshape(data, model, seq)
     return Mesh(arr, axis_names=("data", "model", "seq"))
 
 

@@ -1,0 +1,267 @@
+"""Training loop: data -> sharded jitted step -> EMA -> checkpoints -> logs.
+
+reference: src/f5_tts/model/trainer.py:25-494. Key re-designs:
+
+- Accelerate/NCCL DDP becomes a (data, model, seq) mesh + NamedShardings; the
+  gradient all-reduce is GSPMD-inserted (trainer.py:63-68 -> parallel/mesh.py),
+- the log-mel frontend runs on device INSIDE the jitted step (one rFFT + MXU
+  matmul) instead of in 16 CPU dataloader workers (trainer.py:283-310),
+- EMA/grad-clip/NaN-skip live inside the compiled step (train/step.py),
+- checkpoints: orbax for full train state (params/EMA/opt/update), plus a
+  torch-layout safetensors EMA export for ecosystem interop (the reference's
+  .pt dict {model_state_dict, ema_model_state_dict, update} semantics,
+  trainer.py:150-163); rotation keeps last N, never deletes pretrained_*
+  (trainer.py:166-183); resume prefers model_last (trainer.py:185-263).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from f5e_tts_tpu.config import CFMConfig, MelConfig, ModelConfig, TrainConfig
+from f5e_tts_tpu.models import backbone as fbb
+from f5e_tts_tpu.models import cfm as fcfm
+from f5e_tts_tpu.ops.mel import mel_spectrogram
+from f5e_tts_tpu.parallel import make_mesh
+from f5e_tts_tpu.parallel.mesh import dit_param_spec, tree_map_with_spec
+from f5e_tts_tpu.train import step as fstep
+
+
+def loss_with_device_mel(params, model_state, arch, cfm, mel_cfg: MelConfig,
+                         batch, rng, compute_dtype):
+    """cfm_loss, computing log-mel on device when the batch carries raw audio."""
+    if "mel" in batch:
+        mel = batch["mel"]
+    else:
+        n = batch["audio"].shape[1] // mel_cfg.hop_length
+        mel = mel_spectrogram(batch["audio"], mel_cfg)[:, :n, :]
+    return fcfm.cfm_loss(
+        params, model_state, arch, cfm,
+        mel=mel, mel_lens=batch["mel_lens"],
+        text_ids=batch.get("text_ids"), text_lens=batch.get("text_lens"),
+        ppg=batch.get("ppg"), ppg_lens=batch.get("ppg_lens"),
+        rng=rng, training=True, compute_dtype=compute_dtype,
+    )
+
+
+@dataclass
+class Trainer:
+    model_cfg: ModelConfig
+    train_cfg: TrainConfig
+    vocab_size: int
+    tokenize: Callable
+    log_fn: Optional[Callable[[dict, int], None]] = None
+    sample_fn: Optional[Callable[[dict, int], None]] = None  # periodic audio logging hook
+
+    def __post_init__(self):
+        self.mesh = make_mesh(self.train_cfg.mesh)
+        self.arch = self.model_cfg.arch
+        self.cfm = self.model_cfg.cfm
+        self.compute_dtype = jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16" else jnp.float32
+        os.makedirs(self.train_cfg.save_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # state setup
+    # ------------------------------------------------------------------
+
+    def init_state(self, total_updates: int, rng_seed: int = 0,
+                   pretrained_path: Optional[str] = None) -> fstep.TrainState:
+        params, model_state = fbb.init_backbone(
+            jax.random.PRNGKey(rng_seed), self.arch, self.vocab_size)
+        if pretrained_path:
+            from f5e_tts_tpu.utils.torch_ckpt import dit_from_torch, load_torch_state_dict
+
+            sd = load_torch_state_dict(pretrained_path, use_ema=True)
+            params, model_state = dit_from_torch(sd, self.arch)
+            params = jax.tree.map(jnp.asarray, params)
+            model_state = jax.tree.map(jnp.asarray, model_state)
+        if fbb.backbone_kind(self.arch) == "dit":
+            params = tree_map_with_spec(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                params, dit_param_spec(self.arch))
+        else:
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        self.optimizer = fstep.make_optimizer(
+            self.train_cfg, total_updates, num_replicas=self.mesh.shape["data"])
+        return fstep.init_train_state(params, model_state, self.optimizer)
+
+    def make_step(self):
+        mel_cfg = self.model_cfg.mel
+        arch, cfm, dtype = self.arch, self.cfm, self.compute_dtype
+        optimizer = self.optimizer
+        ema_decay = self.train_cfg.ema_decay
+
+        # single jitted step handling both audio->mel and precomputed-mel batches
+        def full_step(ts, batch, rng):
+            rng = jax.random.fold_in(rng, ts.update + ts.skipped)
+
+            def loss_fn(params):
+                out = loss_with_device_mel(params, ts.model_state, arch, cfm, mel_cfg,
+                                           batch, rng, dtype)
+                return out.loss, out
+
+            import optax
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+            grad_norm = optax.global_norm(grads)
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            updates, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+            new_params = optax.apply_updates(ts.params, updates)
+            keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+            new_params = keep(new_params, ts.params)
+            new_opt = keep(new_opt, ts.opt_state)
+            new_model_state = keep(out.new_state, ts.model_state) if out.new_state else ts.model_state
+            new_update = ts.update + ok.astype(jnp.int32)
+            do_ema = (new_update % 10 == 0) & ok
+            warm = new_update <= 100
+            new_ema = jax.tree.map(
+                lambda e, p: jnp.where(do_ema, jnp.where(warm, p, e * ema_decay + p * (1 - ema_decay)), e),
+                ts.ema_params, new_params)
+            metrics = fstep.StepMetrics(loss=loss, flow_loss=out.flow_loss,
+                                        extra_loss=out.extra_loss, grad_norm=grad_norm,
+                                        skipped=(~ok).astype(jnp.int32))
+            return fstep.TrainState(new_params, new_ema, new_opt, new_model_state,
+                                    new_update, ts.skipped + (~ok).astype(jnp.int32)), metrics
+
+        return jax.jit(full_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference semantics: trainer.py:150-263)
+    # ------------------------------------------------------------------
+
+    def _ckpt_path(self, name: str) -> str:
+        return os.path.join(self.train_cfg.save_dir, name)
+
+    def save_checkpoint(self, ts: fstep.TrainState, last: bool = False):
+        from safetensors.numpy import save_file
+
+        from f5e_tts_tpu.utils.torch_ckpt import dit_to_torch
+
+        update = int(ts.update)
+        name = "model_last" if last else f"model_{update}"
+        # torch-layout EMA export for interop (like the reference safetensors)
+        if fbb.backbone_kind(self.arch) == "dit":
+            ema_host = jax.tree.map(np.asarray, jax.device_get(ts.ema_params))
+            state_host = jax.tree.map(np.asarray, jax.device_get(ts.model_state))
+            sd = dit_to_torch(ema_host, state_host, self.arch)
+            sd = {f"ema_model.{k}": v for k, v in sd.items()}
+            save_file(sd, self._ckpt_path(f"{name}.safetensors"))
+        # full train state via orbax
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self._ckpt_path(f"{name}.orbax"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(ts), force=True)
+        ckptr.wait_until_finished()
+        with open(self._ckpt_path(f"{name}.meta.json"), "w") as f:
+            json.dump({"update": update}, f)
+        if not last:
+            self._rotate()
+
+    def _rotate(self):
+        keep = self.train_cfg.keep_last_n_checkpoints
+        if keep < 0:
+            return
+        pat = re.compile(r"model_(\d+)\.orbax$")
+        ckpts = sorted(
+            (int(m.group(1)), name)
+            for name in os.listdir(self.train_cfg.save_dir)
+            if (m := pat.match(name)) and not name.startswith("pretrained_")
+        )
+        import shutil
+
+        while len(ckpts) > keep:
+            upd, name = ckpts.pop(0)
+            shutil.rmtree(self._ckpt_path(name), ignore_errors=True)
+            for ext in (".safetensors", ".meta.json"):
+                p = self._ckpt_path(f"model_{upd}{ext}")
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def load_checkpoint(self, ts: fstep.TrainState) -> fstep.TrainState:
+        """Resume: model_last > highest numbered (trainer.py:185-205)."""
+        import orbax.checkpoint as ocp
+
+        d = self.train_cfg.save_dir
+        candidates = []
+        if os.path.exists(os.path.join(d, "model_last.orbax")):
+            candidates = ["model_last.orbax"]
+        else:
+            pat = re.compile(r"model_(\d+)\.orbax$")
+            nums = sorted((int(m.group(1)), n) for n in os.listdir(d) if (m := pat.match(n)))
+            if nums:
+                candidates = [nums[-1][1]]
+        if not candidates:
+            return ts
+        path = os.path.abspath(os.path.join(d, candidates[0]))
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, jax.device_get(ts))
+        return jax.tree.map(
+            lambda old, new: jax.device_put(jnp.asarray(new), old.sharding)
+            if hasattr(old, "sharding") else jnp.asarray(new),
+            ts, restored)
+
+    # ------------------------------------------------------------------
+    # loop
+    # ------------------------------------------------------------------
+
+    def batch_shardings(self):
+        sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
+        return {
+            "audio": sh("data", None), "mel": sh("data", None, None),
+            "mel_lens": sh("data"), "text_ids": sh("data", None),
+            "text_lens": sh("data"), "ppg": sh("data", None, None), "ppg_lens": sh("data"),
+        }
+
+    def train(self, loader, epochs: Optional[int] = None, resume: bool = True,
+              max_updates: Optional[int] = None):
+        tc = self.train_cfg
+        epochs = epochs if epochs is not None else tc.epochs
+        total_updates = max_updates or (len(loader) * epochs)
+        ts = self.init_state(total_updates, rng_seed=tc.seed)
+        if resume:
+            ts = self.load_checkpoint(ts)
+        step = self.make_step()
+        shardings = self.batch_shardings()
+        rng = jax.random.PRNGKey(tc.seed)
+
+        start_update = int(ts.update)
+        t0 = time.time()
+        done = False
+        with self.mesh:
+            for epoch in range(epochs):
+                if done:
+                    break
+                loader.sampler.set_epoch(epoch)
+                for batch in loader:
+                    batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()
+                             if k in shardings}
+                    ts, metrics = step(ts, batch, rng)
+                    update = int(ts.update)
+                    if self.log_fn is not None:
+                        self.log_fn({"loss": float(metrics.loss),
+                                     "grad_norm": float(metrics.grad_norm),
+                                     "extra_loss": float(metrics.extra_loss)}, update)
+                    if update % tc.last_per_updates == 0:
+                        self.save_checkpoint(ts, last=True)
+                    if update % tc.save_per_updates == 0:
+                        self.save_checkpoint(ts)
+                    if self.sample_fn is not None and update % tc.log_samples_per_updates == 0:
+                        self.sample_fn(jax.device_get(ts.ema_params), update)
+                    if max_updates and update >= max_updates:
+                        done = True
+                        break
+        self.save_checkpoint(ts, last=True)
+        dt = time.time() - t0
+        return ts, {"updates": int(ts.update) - start_update, "seconds": dt}

@@ -187,15 +187,17 @@ def dit_to_torch(params, state, cfg: DiTConfig, prefix: str = "transformer.") ->
 
     out: Dict[str, np.ndarray] = {}
 
+    # NOTE: outputs must be C-contiguous — safetensors.numpy.save_file writes
+    # the raw buffer of transposed views with the new shape (silent corruption)
     def put_lin(key, p):
-        out[f"{key}.weight"] = np.asarray(p["w"]).T
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
         if "b" in p:
-            out[f"{key}.bias"] = np.asarray(p["b"])
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(p["b"]))
 
     def put_conv(key, p):
-        out[f"{key}.weight"] = np.asarray(p["w"]).transpose(2, 1, 0)
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).transpose(2, 1, 0))
         if "b" in p:
-            out[f"{key}.bias"] = np.asarray(p["b"])
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(p["b"]))
 
     def put_ln(key, p):
         out[f"{key}.weight"] = np.asarray(p["g"])
@@ -234,7 +236,7 @@ def dit_to_torch(params, state, cfg: DiTConfig, prefix: str = "transformer.") ->
             out[f"{b}.attn.k_norm.weight"] = np.asarray(blk["attn"]["k_norm"]["g"])
 
     if cfg.long_skip_connection:
-        out["long_skip_connection.weight"] = np.asarray(params["long_skip"]["w"]).T
+        out["long_skip_connection.weight"] = np.ascontiguousarray(np.asarray(params["long_skip"]["w"]).T)
 
     put_lin("norm_out.linear", params["norm_out"])
     put_lin("proj_out", params["proj_out"])
@@ -257,4 +259,4 @@ def dit_to_torch(params, state, cfg: DiTConfig, prefix: str = "transformer.") ->
             out[f"ppg_embed.ppg_proj.{idx}.running_var"] = np.asarray(state["ppg_bn"][j]["var"])
         put_lin("ppg_embed.ppg_proj.15", pe["post"])
 
-    return {prefix + k: v for k, v in out.items()}
+    return {prefix + k: np.ascontiguousarray(v) for k, v in out.items()}
