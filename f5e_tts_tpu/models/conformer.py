@@ -1,0 +1,444 @@
+"""WeNet-style Conformer encoder + PPG extraction wrapper (frozen, inference).
+
+reference: src/f5_tts/ppg/ — asr_model.py:222-244 (extract), wenet/transformer/
+encoder.py:141-208 & 403-495 (ConformerEncoder), encoder_layer.py:130-268,
+attention.py:134-222 (RelPositionMultiHeadedAttention, NO rel_shift),
+convolution.py (GLU + depthwise + BN + swish), subsampling.py:68-120
+(Conv2dSubsampling2), embedding.py:86-111 (RelPositionalEncoding),
+cmvn.py (GlobalCMVN), ppg_model.py:58-169 (PPGModelWapper).
+
+This is a frozen conditioning network: eval-mode only (dropout off, BN running
+stats), pure function over ingested torch weights. The whole extraction is one
+jitted graph: kaldi-fbank -> CMVN -> conv subsample -> N conformer layers ->
+content linear -> (optional) phone-map projection.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5e_tts_tpu.ops import nn as fnn
+from f5e_tts_tpu.ops.kaldi import kaldi_fbank
+from f5e_tts_tpu.utils.masks import lens_to_mask
+
+
+@dataclass(frozen=True)
+class ConformerConfig:
+    input_dim: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 12
+    cnn_module_kernel: int = 15
+    subsampling: str = "conv2d2"  # conv2d2 (1/2) | conv2d (1/4)
+    max_pos: int = 5000
+
+
+def _sinus_table(d_model: int, max_len: int) -> np.ndarray:
+    """Interleaved sin/cos abs table (embedding.py:36-44): pe[:,0::2]=sin."""
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), np.float64)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """wenet forward_attention: fill -inf where masked, softmax, zero masked."""
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, jnp.finfo(jnp.float32).min)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if mask is not None:
+        attn = jnp.where(mask[:, None, None, :], attn, 0.0)
+    return attn
+
+
+def _rel_attention(p, x, pos_emb, mask, heads: int, compute_dtype):
+    """Transformer-XL style attention without rel_shift (attention.py:180-222)."""
+    b, t, d = x.shape
+    dk = d // heads
+
+    def proj(pp, y):
+        return fnn.linear(pp, y, compute_dtype).reshape(b, -1, heads, dk)
+
+    q = proj(p["linear_q"], x)
+    k = proj(p["linear_k"], x)
+    v = proj(p["linear_v"], x)
+    pos = fnn.linear(p["linear_pos"], pos_emb[None], compute_dtype).reshape(1, -1, heads, dk)
+
+    qf = q.astype(jnp.float32)
+    u = p["pos_bias_u"].astype(jnp.float32)  # (heads, dk)
+    vb = p["pos_bias_v"].astype(jnp.float32)
+    ac = jnp.einsum("bthd,bshd->bhts", qf + u[None, None], k.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    bd = jnp.einsum("bthd,zshd->bhts", qf + vb[None, None], pos.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    scores = (ac + bd) / math.sqrt(dk)
+    attn = _masked_softmax(scores, mask)
+    out = jnp.einsum("bhts,bshd->bthd", attn, v.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(b, t, d).astype(compute_dtype)
+    return fnn.linear(p["linear_out"], out, compute_dtype)
+
+
+def _conv_module(p, x, mask, compute_dtype):
+    """GLU pointwise -> depthwise k15 -> BN(eval) -> swish -> pointwise
+    (convolution.py)."""
+    if mask is not None:
+        x = jnp.where(mask[:, :, None], x, 0.0).astype(x.dtype)
+    h = fnn.linear(p["pw1"], x, compute_dtype)  # k=1 conv == linear
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g.astype(jnp.float32)).astype(a.dtype)
+    dim = h.shape[-1]
+    h = fnn.conv1d(p["dw"], h, groups=dim, padding=(p["dw"]["w"].shape[0] - 1) // 2,
+                   compute_dtype=compute_dtype)
+    # BatchNorm eval
+    bn = p["bn"]
+    hf = h.astype(jnp.float32)
+    hf = (hf - bn["mean"]) * jax.lax.rsqrt(bn["var"] + 1e-5) * bn["g"] + bn["b"]
+    h = hf * jax.nn.sigmoid(hf)  # swish
+    h = fnn.linear(p["pw2"], h.astype(compute_dtype), compute_dtype)
+    if mask is not None:
+        h = jnp.where(mask[:, :, None], h, 0.0).astype(h.dtype)
+    return h
+
+
+def _ffn(p, x, compute_dtype):
+    h = fnn.linear(p["w1"], x, compute_dtype)
+    h = h.astype(jnp.float32)
+    h = h * jax.nn.sigmoid(h)  # swish activation (encoder config activation_type)
+    return fnn.linear(p["w2"], h.astype(compute_dtype), compute_dtype)
+
+
+def _conformer_layer(p, x, pos_emb, mask, heads, compute_dtype):
+    """Macaron-FF -> MHA -> Conv -> FF -> final LN (encoder_layer.py:179-268)."""
+    # macaron ff (scale 0.5)
+    h = fnn.layernorm(p["norm_ff_macaron"], x, eps=1e-5)
+    x = x + 0.5 * _ffn(p["ff_macaron"], h, compute_dtype)
+    # attention
+    h = fnn.layernorm(p["norm_mha"], x, eps=1e-5)
+    x = x + _rel_attention(p["attn"], h, pos_emb, mask, heads, compute_dtype)
+    # conv
+    h = fnn.layernorm(p["norm_conv"], x, eps=1e-5)
+    x = x + _conv_module(p["conv"], h, mask, compute_dtype)
+    # ff
+    h = fnn.layernorm(p["norm_ff"], x, eps=1e-5)
+    x = x + 0.5 * _ffn(p["ff"], h, compute_dtype)
+    return fnn.layernorm(p["norm_final"], x, eps=1e-5)
+
+
+def conformer_encode(
+    params: dict,
+    cfg: ConformerConfig,
+    feats: jnp.ndarray,  # (B, T, 80) kaldi fbank
+    feat_lens: jnp.ndarray,  # (B,)
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full encoder forward (encoder.py:141-208). Returns (out, out_lens)."""
+    b, t, f = feats.shape
+    mask = lens_to_mask(feat_lens, t)
+
+    x = (feats.astype(jnp.float32) - params["cmvn_mean"]) * params["cmvn_istd"]
+
+    # Conv2dSubsampling2: (B, T, F) -> conv2d k3 s2 (valid) -> (B, T', F', C)
+    x = x[:, :, :, None]  # NHWC: (B, T, F, 1)
+    w = params["embed_conv"]["w"]  # (3, 3, 1, odim)
+    x = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w.astype(compute_dtype), window_strides=(2, 2),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    x = x + params["embed_conv"]["b"]
+    x = jnp.maximum(x, 0.0)
+    bt, tt, ff_, c = x.shape
+    # torch flattens channel-major: transpose(1,2).view -> (c outer, f inner)
+    x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, tt, c * ff_)
+    x = fnn.linear(params["embed_out"], x.astype(compute_dtype), compute_dtype)
+
+    mask = mask[:, :-2:2]  # subsampled time mask (subsampling.py:119)
+
+    d = cfg.output_size
+    x = x.astype(jnp.float32) * math.sqrt(d)
+    pos_emb = jnp.asarray(_sinus_table(d, cfg.max_pos))[:tt]
+
+    x = x.astype(compute_dtype)
+    for layer_p in params["layers"]:
+        x = _conformer_layer(layer_p, x, pos_emb, mask, cfg.attention_heads, compute_dtype)
+    x = fnn.layernorm(params["after_norm"], x, eps=1e-5)
+
+    out_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+    return x, out_lens
+
+
+# ---------------------------------------------------------------------------
+# PPG wrapper (ppg_model.py:58-169)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PPGExtractor:
+    """Frozen PPG extractor: 16 kHz audio or kaldi fbank -> 256-d PPG @ 20 ms."""
+
+    params: dict
+    cfg: ConformerConfig
+    output_type: str = "ppg"  # "ppg" | "map"
+    map_mix_ratio: float = 1.0
+    phn_center: Optional[np.ndarray] = None  # (601, 256)
+    ce_w: Optional[np.ndarray] = None  # (601, 256)
+    ce_b: Optional[np.ndarray] = None  # (601,)
+    frame_length: int = 20
+    mel_frame_shift: int = 10
+    compute_dtype: object = jnp.float32
+
+    def mel_to_ppg(self, feats: jnp.ndarray, feat_lens: jnp.ndarray):
+        """(B, T, 80) 10ms fbank -> ((B, T', 256) PPG, (B,) true lens).
+
+        reference: ppg_model.py:132-141 — true_len = mel_len / (20/10),
+        clamped to the encoder output length; padding zeroed.
+        """
+        enc, _ = conformer_encode(self.params, self.cfg, feats, feat_lens,
+                                  self.compute_dtype)
+        ppg = fnn.linear(self.params["content_linear"], enc, self.compute_dtype)
+        ppg = ppg.astype(jnp.float32)
+        ratio = self.frame_length // self.mel_frame_shift
+        true_len = jnp.minimum((feat_lens // ratio).astype(jnp.int32), ppg.shape[1])
+        ppg = self._to_target(ppg, true_len)
+        return ppg, true_len
+
+    def _to_target(self, ppg, true_len):
+        """Optional phone-center mapping (ppg_model.py:112-131)."""
+        if self.output_type == "map":
+            logit = ppg @ jnp.asarray(self.ce_w).T + jnp.asarray(self.ce_b)
+            probs = jax.nn.softmax(logit, axis=-1)
+            mapped = probs @ jnp.asarray(self.phn_center)
+            if self.map_mix_ratio == 1.0:
+                ppg = mapped
+            else:
+                ppg = ppg * (1 - self.map_mix_ratio) + mapped * self.map_mix_ratio
+        keep = lens_to_mask(true_len, ppg.shape[1])
+        return jnp.where(keep[:, :, None], ppg, 0.0)
+
+    def audio_to_ppg(self, wav: jnp.ndarray, wav_lens: Optional[jnp.ndarray] = None):
+        """16 kHz waveform (B, T) -> PPG (ppg_model.py:162-169)."""
+        feats = kaldi_fbank(wav)
+        if wav_lens is None:
+            feat_lens = jnp.full((feats.shape[0],), feats.shape[1], jnp.int32)
+        else:
+            win, hop = 400, 160
+            feat_lens = jnp.maximum((wav_lens - win) // hop + 1, 0).astype(jnp.int32)
+        return self.mel_to_ppg(feats, feat_lens)
+
+
+# ---------------------------------------------------------------------------
+# weight ingestion (wenet torch checkpoint -> pytree)
+# ---------------------------------------------------------------------------
+
+
+def load_cmvn_file(path: str):
+    """Parse a wenet/kaldi global_cmvn stats file (JSON or kaldi text).
+
+    JSON: {"mean_stat": [...], "var_stat": [...], "frame_num": N}
+    Returns (mean, istd) float32 arrays.
+    """
+    import json
+
+    with open(path, "r", encoding="utf-8") as f:
+        txt = f.read()
+    try:
+        d = json.loads(txt)
+        mean_stat = np.asarray(d["mean_stat"], np.float64)
+        var_stat = np.asarray(d["var_stat"], np.float64)
+        n = float(d["frame_num"])
+    except json.JSONDecodeError:
+        # kaldi text matrix: two rows [mean_stat... count] [var_stat... 0]
+        rows = [r for r in txt.replace("[", " ").replace("]", " ").split("\n") if r.strip()]
+        r1 = np.asarray([float(x) for x in rows[-2].split()], np.float64)
+        r2 = np.asarray([float(x) for x in rows[-1].split()], np.float64)
+        mean_stat, n = r1[:-1], r1[-1]
+        var_stat = r2[:-1]
+    mean = mean_stat / n
+    var = np.maximum(var_stat / n - mean**2, 1e-20)
+    return mean.astype(np.float32), (1.0 / np.sqrt(var)).astype(np.float32)
+
+
+def conformer_from_torch(sd: Dict[str, np.ndarray], cfg: ConformerConfig,
+                         cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None) -> dict:
+    """Map a wenet ASR checkpoint's encoder (+content linear) to our pytree."""
+
+    def lin(k):
+        p = {"w": np.ascontiguousarray(sd[f"{k}.weight"].T)}
+        if f"{k}.bias" in sd:
+            p["b"] = sd[f"{k}.bias"]
+        return p
+
+    def ln(k):
+        return {"g": sd[f"{k}.weight"], "b": sd[f"{k}.bias"]}
+
+    params: dict = {}
+    if cmvn is not None:
+        params["cmvn_mean"], params["cmvn_istd"] = cmvn
+    elif "encoder.global_cmvn.mean" in sd:
+        params["cmvn_mean"] = sd["encoder.global_cmvn.mean"]
+        params["cmvn_istd"] = sd["encoder.global_cmvn.istd"]
+    else:
+        params["cmvn_mean"] = np.zeros((cfg.input_dim,), np.float32)
+        params["cmvn_istd"] = np.ones((cfg.input_dim,), np.float32)
+
+    # Conv2d (odim, 1, 3, 3) -> HWIO (3, 3, 1, odim)
+    params["embed_conv"] = {
+        "w": np.ascontiguousarray(sd["encoder.embed.conv.0.weight"].transpose(2, 3, 1, 0)),
+        "b": sd["encoder.embed.conv.0.bias"],
+    }
+    params["embed_out"] = lin("encoder.embed.out.0")
+
+    layers = []
+    for i in range(cfg.num_blocks):
+        k = f"encoder.encoders.{i}"
+        layers.append({
+            "norm_ff_macaron": ln(f"{k}.norm_ff_macaron"),
+            "ff_macaron": {"w1": lin(f"{k}.feed_forward_macaron.w_1"),
+                           "w2": lin(f"{k}.feed_forward_macaron.w_2")},
+            "norm_mha": ln(f"{k}.norm_mha"),
+            "attn": {
+                "linear_q": lin(f"{k}.self_attn.linear_q"),
+                "linear_k": lin(f"{k}.self_attn.linear_k"),
+                "linear_v": lin(f"{k}.self_attn.linear_v"),
+                "linear_out": lin(f"{k}.self_attn.linear_out"),
+                "linear_pos": {"w": np.ascontiguousarray(sd[f"{k}.self_attn.linear_pos.weight"].T)},
+                "pos_bias_u": sd[f"{k}.self_attn.pos_bias_u"],
+                "pos_bias_v": sd[f"{k}.self_attn.pos_bias_v"],
+            },
+            "norm_conv": ln(f"{k}.norm_conv"),
+            "conv": {
+                # pointwise convs are k=1: (out, in, 1) -> linear (in, out)
+                "pw1": {"w": np.ascontiguousarray(sd[f"{k}.conv_module.pointwise_conv1.weight"][:, :, 0].T),
+                        "b": sd[f"{k}.conv_module.pointwise_conv1.bias"]},
+                "dw": {"w": np.ascontiguousarray(sd[f"{k}.conv_module.depthwise_conv.weight"].transpose(2, 1, 0)),
+                       "b": sd[f"{k}.conv_module.depthwise_conv.bias"]},
+                "bn": {"g": sd[f"{k}.conv_module.norm.weight"],
+                       "b": sd[f"{k}.conv_module.norm.bias"],
+                       "mean": sd[f"{k}.conv_module.norm.running_mean"],
+                       "var": sd[f"{k}.conv_module.norm.running_var"]},
+                "pw2": {"w": np.ascontiguousarray(sd[f"{k}.conv_module.pointwise_conv2.weight"][:, :, 0].T),
+                        "b": sd[f"{k}.conv_module.pointwise_conv2.bias"]},
+            },
+            "norm_ff": ln(f"{k}.norm_ff"),
+            "ff": {"w1": lin(f"{k}.feed_forward.w_1"), "w2": lin(f"{k}.feed_forward.w_2")},
+            "norm_final": ln(f"{k}.norm_final"),
+        })
+    params["layers"] = layers
+    params["after_norm"] = ln("encoder.after_norm")
+    params["content_linear"] = lin("linear")  # asr_model.py:77-78
+    return params
+
+
+def load_ppg_extractor(ckpt_path: str, config_path: str, *, output_type: str = "ppg",
+                       map_mix_ratio: float = 1.0, phn_center_path: Optional[str] = None,
+                       ce_layer_path: Optional[str] = None) -> PPGExtractor:
+    """Build a frozen extractor from the reference artifacts (33.pt + train.yaml
+    + global_cmvn [+ phn_center.npy + ce_layer.pkl]). ppg_model.py:11-28."""
+    import os
+
+    import torch
+    import yaml
+
+    with open(config_path, "r", encoding="utf-8") as f:
+        conf = yaml.safe_load(f)
+    enc = conf.get("encoder_conf", {})
+    cfg = ConformerConfig(
+        input_dim=conf.get("input_dim", 80),
+        output_size=enc.get("output_size", 256),
+        attention_heads=enc.get("attention_heads", 4),
+        linear_units=enc.get("linear_units", 2048),
+        num_blocks=enc.get("num_blocks", 12),
+        cnn_module_kernel=enc.get("cnn_module_kernel", 15),
+        subsampling=enc.get("input_layer", "conv2d2"),
+    )
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy().astype(np.float32) for k, v in sd.items() if hasattr(v, "numpy")}
+
+    cmvn = None
+    cmvn_file = conf.get("cmvn_file")
+    if cmvn_file and not os.path.exists(cmvn_file):
+        cmvn_file = os.path.join(os.path.dirname(ckpt_path), "global_cmvn")
+    if cmvn_file and os.path.exists(cmvn_file):
+        cmvn = load_cmvn_file(cmvn_file)
+
+    params = conformer_from_torch(sd, cfg, cmvn)
+    params = jax.tree.map(jnp.asarray, params)
+
+    phn_center = ce_w = ce_b = None
+    if output_type == "map":
+        import pickle
+
+        phn_center = np.load(phn_center_path).astype(np.float32)
+        with open(ce_layer_path, "rb") as f:
+            ce = pickle.load(f)
+        ce_w, ce_b = np.asarray(ce["w"], np.float32), np.asarray(ce["b"], np.float32)
+
+    return PPGExtractor(params=params, cfg=cfg, output_type=output_type,
+                        map_mix_ratio=map_mix_ratio, phn_center=phn_center,
+                        ce_w=ce_w, ce_b=ce_b)
+
+
+def init_conformer(key, cfg: ConformerConfig) -> dict:
+    """Random init (tests / from-scratch PPG training)."""
+    keys = iter(jax.random.split(key, 8 + cfg.num_blocks * 12))
+    d, lu = cfg.output_size, cfg.linear_units
+    fdim = (cfg.input_dim - 1) // 2
+
+    def lin(k, i, o, bias=True):
+        return fnn.linear_init(k, i, o, bias=bias)
+
+    params = {
+        "cmvn_mean": jnp.zeros((cfg.input_dim,), jnp.float32),
+        "cmvn_istd": jnp.ones((cfg.input_dim,), jnp.float32),
+        "embed_conv": {
+            "w": jax.random.normal(next(keys), (3, 3, 1, d), jnp.float32) * 0.1,
+            "b": jnp.zeros((d,), jnp.float32),
+        },
+        "embed_out": lin(next(keys), d * fdim, d),
+        "after_norm": fnn.layernorm_init(d),
+        "content_linear": lin(next(keys), d, d),
+    }
+    layers = []
+    for _ in range(cfg.num_blocks):
+        layers.append({
+            "norm_ff_macaron": fnn.layernorm_init(d),
+            "ff_macaron": {"w1": lin(next(keys), d, lu), "w2": lin(next(keys), lu, d)},
+            "norm_mha": fnn.layernorm_init(d),
+            "attn": {
+                "linear_q": lin(next(keys), d, d),
+                "linear_k": lin(next(keys), d, d),
+                "linear_v": lin(next(keys), d, d),
+                "linear_out": lin(next(keys), d, d),
+                "linear_pos": lin(next(keys), d, d, bias=False),
+                "pos_bias_u": jax.random.normal(next(keys), (cfg.attention_heads, d // cfg.attention_heads)) * 0.02,
+                "pos_bias_v": jax.random.normal(next(keys), (cfg.attention_heads, d // cfg.attention_heads)) * 0.02,
+            },
+            "norm_conv": fnn.layernorm_init(d),
+            "conv": {
+                "pw1": lin(next(keys), d, 2 * d),
+                "dw": fnn.conv1d_init(next(keys), d, d, kernel=cfg.cnn_module_kernel, groups=d),
+                "bn": {"g": jnp.ones((d,)), "b": jnp.zeros((d,)),
+                       "mean": jnp.zeros((d,)), "var": jnp.ones((d,))},
+                "pw2": lin(next(keys), d, d),
+            },
+            "norm_ff": fnn.layernorm_init(d),
+            "ff": {"w1": lin(next(keys), d, lu), "w2": lin(next(keys), lu, d)},
+            "norm_final": fnn.layernorm_init(d),
+        })
+    params["layers"] = layers
+    return params

@@ -1,0 +1,196 @@
+"""PPG subsystem tests: kaldi fbank numerics, conformer encoder, wrapper."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from f5e_tts_tpu.models import conformer as fconf
+from f5e_tts_tpu.ops import kaldi as fkaldi
+
+CFG = fconf.ConformerConfig(input_dim=20, output_size=32, attention_heads=2,
+                            linear_units=64, num_blocks=2, cnn_module_kernel=7)
+
+
+def test_kaldi_fbank_matches_numpy_oracle(rng):
+    wav = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    ours = np.asarray(fkaldi.kaldi_fbank(jnp.asarray(wav[None])))[0]
+    ref = fkaldi.kaldi_fbank_numpy(wav)
+    assert ours.shape == ref.shape == (1 + (16000 - 400) // 160, 80)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_kaldi_frame_count():
+    wav = jnp.zeros((1, 8000))
+    out = fkaldi.kaldi_fbank(wav)
+    assert out.shape[1] == 1 + (8000 - 400) // 160  # snip_edges
+
+
+def test_povey_window():
+    w = fkaldi.povey_window(400)
+    assert w[0] == 0.0 and abs(w[200] - (0.5 - 0.5 * np.cos(2 * np.pi * 200 / 399))**0.85) < 1e-6
+
+
+def test_kaldi_mel_banks_kaldi_convention():
+    banks = fkaldi.kaldi_mel_banks(80, 512, 16000.0)
+    assert banks.shape == (80, 256)
+    assert banks.min() >= 0
+    # every filter has mass; peaks bounded by 1 (triangle peak in mel space),
+    # narrow low-frequency filters may be sampled off-peak by the fft grid
+    assert banks.max(axis=1).min() > 0.05
+    assert banks.max() <= 1.0 + 1e-6
+    # centers monotonic
+    centers = banks.argmax(axis=1)
+    assert (np.diff(centers) >= 0).all()
+
+
+def test_conformer_shapes(rng):
+    params = fconf.init_conformer(jax.random.PRNGKey(0), CFG)
+    feats = jnp.asarray(rng.standard_normal((2, 41, 20)).astype(np.float32))
+    lens = jnp.asarray([41, 30])
+    out, out_lens = fconf.conformer_encode(params, CFG, feats, lens)
+    assert out.shape == (2, (41 - 1) // 2, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    assert int(out_lens[0]) == 20
+    assert int(out_lens[1]) == 15  # ceil((30-2)/2) per mask[:-2:2]
+
+
+def test_conformer_zero_padding_invariance(rng):
+    """Zero-padding to a longer bucket must match zero-padding to a shorter
+    one on the valid frames. (NOTE: wenet is NOT invariant to padding VALUES —
+    the subsampled mask `mask[:, :-2:2]` keeps a last frame whose conv2d
+    window reads one padded input frame, and attention spreads it; real
+    collation always pads with zeros, which this test reflects.)"""
+    params = fconf.init_conformer(jax.random.PRNGKey(1), CFG)
+    feats = rng.standard_normal((1, 41, 20)).astype(np.float32)
+    lens = jnp.asarray([41])
+    pad_a = np.concatenate([feats, np.zeros((1, 9, 20), np.float32)], axis=1)
+    pad_b = np.concatenate([feats, np.zeros((1, 29, 20), np.float32)], axis=1)
+    out1, l1 = fconf.conformer_encode(params, CFG, jnp.asarray(pad_a), lens)
+    out2, _ = fconf.conformer_encode(params, CFG, jnp.asarray(pad_b), lens)
+    n = int(l1[0])
+    np.testing.assert_allclose(np.asarray(out2[0, :n]), np.asarray(out1[0, :n]),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_masked_softmax_ignores_masked_keys(rng):
+    scores = jnp.asarray(rng.standard_normal((1, 2, 4, 6)).astype(np.float32))
+    mask = jnp.asarray([[True, True, True, False, False, False]])
+    attn = np.asarray(fconf._masked_softmax(scores, mask))
+    assert np.abs(attn[..., 3:]).max() == 0.0
+    np.testing.assert_allclose(attn.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_subsampling_matches_torch(rng):
+    """Conv2dSubsampling2 layout: torch channel-major flatten vs our transpose."""
+    odim, idim = 8, 20
+    conv = torch.nn.Conv2d(1, odim, 3, 2)
+    lin = torch.nn.Linear(odim * ((idim - 1) // 2), odim)
+    x = rng.standard_normal((2, 21, idim)).astype(np.float32)
+
+    with torch.no_grad():
+        tx = torch.from_numpy(x).unsqueeze(1)
+        tc = torch.relu(conv(tx))
+        b, c, t, f = tc.shape
+        ref = lin(tc.transpose(1, 2).contiguous().view(b, t, c * f)).numpy()
+
+    params = {
+        "embed_conv": {"w": jnp.asarray(conv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+                       "b": jnp.asarray(conv.bias.detach().numpy())},
+        "embed_out": {"w": jnp.asarray(lin.weight.detach().numpy().T),
+                      "b": jnp.asarray(lin.bias.detach().numpy())},
+    }
+    h = jnp.asarray(x)[:, :, :, None]
+    h = jax.lax.conv_general_dilated(h, params["embed_conv"]["w"], (2, 2), "VALID",
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = jnp.maximum(h + params["embed_conv"]["b"], 0.0)
+    bb, tt, ff_, cc = h.shape
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(bb, tt, cc * ff_)
+    from f5e_tts_tpu.ops import nn as fnn
+
+    ours = np.asarray(fnn.linear(params["embed_out"], h))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_rel_attention_matches_torch(rng):
+    """Our rel-pos attention vs a direct torch transcription of the math."""
+    d, heads, t = 16, 2, 6
+    dk = d // heads
+    x = rng.standard_normal((1, t, d)).astype(np.float32)
+    pos = rng.standard_normal((t, d)).astype(np.float32)
+    p = {}
+    tl = {}
+    for name in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        m = torch.nn.Linear(d, d)
+        tl[name] = m
+        p[name] = {"w": jnp.asarray(m.weight.detach().numpy().T),
+                   "b": jnp.asarray(m.bias.detach().numpy())}
+    mpos = torch.nn.Linear(d, d, bias=False)
+    tl["linear_pos"] = mpos
+    p["linear_pos"] = {"w": jnp.asarray(mpos.weight.detach().numpy().T)}
+    u = rng.standard_normal((heads, dk)).astype(np.float32)
+    v = rng.standard_normal((heads, dk)).astype(np.float32)
+    p["pos_bias_u"] = jnp.asarray(u)
+    p["pos_bias_v"] = jnp.asarray(v)
+
+    ours = np.asarray(fconf._rel_attention(p, jnp.asarray(x), jnp.asarray(pos), None,
+                                           heads, jnp.float32))
+
+    with torch.no_grad():
+        tx = torch.from_numpy(x)
+        q = tl["linear_q"](tx).view(1, t, heads, dk)
+        k = tl["linear_k"](tx).view(1, t, heads, dk).transpose(1, 2)
+        vv = tl["linear_v"](tx).view(1, t, heads, dk).transpose(1, 2)
+        pp = tl["linear_pos"](torch.from_numpy(pos)[None]).view(1, t, heads, dk).transpose(1, 2)
+        qu = (q + torch.from_numpy(u)).transpose(1, 2)
+        qv = (q + torch.from_numpy(v)).transpose(1, 2)
+        ac = qu @ k.transpose(-2, -1)
+        bd = qv @ pp.transpose(-2, -1)
+        scores = (ac + bd) / np.sqrt(dk)
+        attn = torch.softmax(scores, -1)
+        out = (attn @ vv).transpose(1, 2).reshape(1, t, d)
+        ref = tl["linear_out"](out).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ppg_extractor_wrapper(rng):
+    params = fconf.init_conformer(jax.random.PRNGKey(2), CFG)
+    ext = fconf.PPGExtractor(params=params, cfg=CFG)
+    feats = jnp.asarray(rng.standard_normal((2, 41, 20)).astype(np.float32))
+    lens = jnp.asarray([41, 20])
+    ppg, true_len = ext.mel_to_ppg(feats, lens)
+    assert ppg.shape[0] == 2 and ppg.shape[2] == 32
+    # true_len = mel_len // 2 clamped to encoder length (41-1)//2 = 20
+    assert int(true_len[0]) == 20 and int(true_len[1]) == 10
+    # padding beyond true_len zeroed (ppg_model.py:131)
+    assert np.abs(np.asarray(ppg[1, 10:])).max() == 0
+
+
+def test_ppg_map_path(rng):
+    params = fconf.init_conformer(jax.random.PRNGKey(3), CFG)
+    phn = rng.standard_normal((7, 32)).astype(np.float32)
+    w = rng.standard_normal((7, 32)).astype(np.float32)
+    b = rng.standard_normal(7).astype(np.float32)
+    ext = fconf.PPGExtractor(params=params, cfg=CFG, output_type="map",
+                             phn_center=phn, ce_w=w, ce_b=b)
+    feats = jnp.asarray(rng.standard_normal((1, 20, 20)).astype(np.float32))
+    ppg, tl = ext.mel_to_ppg(feats, jnp.asarray([20]))
+    # mapped output rows are convex combos of phone centers -> within range
+    assert np.isfinite(np.asarray(ppg)).all()
+    assert np.abs(np.asarray(ppg)).max() <= np.abs(phn).max() + 1e-4
+
+
+def test_cmvn_file_json(tmp_path):
+    import json
+
+    mean_stat = np.arange(4.0) * 10
+    var_stat = (np.arange(4.0) + 1) * 100
+    path = str(tmp_path / "global_cmvn")
+    with open(path, "w") as f:
+        json.dump({"mean_stat": mean_stat.tolist(), "var_stat": var_stat.tolist(),
+                   "frame_num": 10}, f)
+    mean, istd = fconf.load_cmvn_file(path)
+    np.testing.assert_allclose(mean, mean_stat / 10, rtol=1e-6)
+    np.testing.assert_allclose(istd, 1 / np.sqrt(var_stat / 10 - (mean_stat / 10) ** 2),
+                               rtol=1e-5)
