@@ -1,0 +1,142 @@
+"""Python API: the `F5TTS` class.
+
+reference: src/f5_tts/api.py:23-149. Loads a model preset/config + checkpoint +
+vocoder and exposes `infer(ref_file, ref_text, gen_text, ...)`.
+
+Model weights: pass explicit local paths (`ckpt_file`, `vocoder_path`,
+`vocab_file`) — there is no HuggingFace auto-download in this offline build;
+the reference's checkpoints (SWivid/F5-TTS safetensors, charactr/vocos) load
+directly once present on disk.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5e_tts_tpu.config import CFMConfig, InferConfig, ModelConfig, load_yaml, preset
+from f5e_tts_tpu.infer import audio as faudio
+from f5e_tts_tpu.infer.pipeline import TTSEngine
+from f5e_tts_tpu.models import backbone as fbb
+from f5e_tts_tpu.models.vocos import VocosConfig, init_vocos, load_vocos, vocos_decode
+from f5e_tts_tpu.utils import text as ftext
+from f5e_tts_tpu.utils.torch_ckpt import dit_from_torch, load_torch_state_dict
+
+
+def load_vocoder(vocoder_path: Optional[str] = None, compute_dtype=jnp.bfloat16):
+    """Vocos decoder callable. Random-init fallback when no weights are given
+    (reference downloads charactr/vocos-mel-24khz, utils_infer.py:101-124)."""
+    cfg = VocosConfig()
+    if vocoder_path:
+        params = jax.tree.map(jnp.asarray, load_vocos(vocoder_path, cfg))
+    else:
+        params = init_vocos(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+
+    def decode(mel):
+        return np.asarray(vocos_decode(params, cfg, jnp.asarray(mel, compute_dtype),
+                                       compute_dtype=compute_dtype), np.float32)
+
+    return decode
+
+
+class F5TTS:
+    """reference: api.py:23-149 (same call surface, TPU/JAX execution)."""
+
+    def __init__(
+        self,
+        model: str = "F5TTS_v1_Base",
+        ckpt_file: str = "",
+        vocab_file: str = "",
+        ode_method: str = "euler",
+        use_ema: bool = True,
+        vocoder_local_path: Optional[str] = None,
+        config_file: Optional[str] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.model_cfg: ModelConfig = load_yaml(config_file) if config_file else preset(model)
+        arch = self.model_cfg.arch
+        self.target_sample_rate = self.model_cfg.mel.target_sample_rate
+
+        if vocab_file:
+            vocab, vocab_size = ftext.get_tokenizer(vocab_file, "custom")
+            tokenizer = "custom"
+        elif self.model_cfg.tokenizer == "g2p-mix":
+            vocab, vocab_size = ftext.get_tokenizer("", "g2p-mix")
+            tokenizer = "g2p-mix"
+        else:
+            vocab, vocab_size = None, self.model_cfg.vocab_size
+            tokenizer = self.model_cfg.tokenizer
+
+        if ckpt_file:
+            sd = load_torch_state_dict(ckpt_file, use_ema=use_ema)
+            params, state = dit_from_torch(sd, arch)
+            params = jax.tree.map(jnp.asarray, params)
+            state = jax.tree.map(jnp.asarray, state)
+        else:
+            params, state = fbb.init_backbone(jax.random.PRNGKey(0), arch, vocab_size)
+        params = jax.tree.map(
+            lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, params)
+
+        cfm = CFMConfig(ode_method=ode_method)
+        # pinyin tokenizer needs a vocab map; fall back to char when absent
+        if vocab is None and tokenizer in ("pinyin", "char"):
+            tokenizer = "byte"
+
+        self.engine = TTSEngine(
+            params=params, state=state, arch=arch, vocab=vocab,
+            mel=self.model_cfg.mel, cfm=cfm, infer_cfg=self.model_cfg.infer,
+            tokenizer=tokenizer,
+            vocoder_decode=load_vocoder(vocoder_local_path, compute_dtype),
+            compute_dtype=compute_dtype,
+            use_intersperse=(arch.codebook.use_align_loss or arch.ppg.use_cross_mask)
+            if hasattr(arch, "codebook") else False,
+        )
+        self.seed: Optional[int] = None
+
+    def export_wav(self, wav: np.ndarray, file_wave: str, remove_silence: bool = False):
+        if remove_silence:
+            wav = faudio.remove_silence_edges(wav, self.target_sample_rate)
+        faudio.write_wav(file_wave, wav, self.target_sample_rate)
+
+    def export_spectrogram(self, spec: np.ndarray, file_spec: str):
+        """Save (N, mel) log-mel to .npy (matplotlib is not bundled)."""
+        np.save(file_spec, spec)
+
+    def infer(
+        self,
+        ref_file: str,
+        ref_text: str,
+        gen_text: str,
+        *,
+        target_rms: float = 0.1,
+        cross_fade_duration: float = 0.15,
+        sway_sampling_coef: float = -1.0,
+        cfg_strength: float = 2.0,
+        nfe_step: int = 32,
+        speed: float = 1.0,
+        fix_duration: Optional[float] = None,
+        remove_silence: bool = False,
+        file_wave: Optional[str] = None,
+        file_spec: Optional[str] = None,
+        seed: Optional[int] = None,
+    ):
+        if seed is None:
+            seed = random.randint(0, 2**31 - 1)
+        self.seed = seed
+
+        wav, sr = faudio.read_wav(ref_file)
+        out, sr, spec = self.engine.infer(
+            wav, sr, ref_text, gen_text, seed=seed, speed=speed,
+            fix_duration=fix_duration, nfe_steps=nfe_step, cfg_strength=cfg_strength,
+            sway=sway_sampling_coef, cross_fade_duration=cross_fade_duration)
+        if file_wave is not None:
+            self.export_wav(out, file_wave, remove_silence)
+        if file_spec is not None:
+            self.export_spectrogram(spec, file_spec)
+        return out, sr, spec

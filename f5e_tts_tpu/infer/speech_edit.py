@@ -1,0 +1,145 @@
+"""Speech editing: infill selected time spans of an utterance with new text.
+
+reference: src/f5_tts/infer/speech_edit.py:140-186 — zero the audio inside the
+edit spans, build a frame-level edit mask (True = keep original), and run the
+sampler with `edit_mask` so only the masked spans are regenerated (the CFM
+prompt-keep mask is cond_mask & edit_mask, cfm.py:396-397).
+
+The reference derives spans from a ctc-forced-aligner; here spans are given in
+seconds (callers can use any aligner) — the masking/infilling machinery is the
+parity target.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5e_tts_tpu.config import MelConfig
+from f5e_tts_tpu.models import cfm as fcfm
+from f5e_tts_tpu.ops.mel import mel_spectrogram
+
+
+def build_edit_mask(
+    parts_to_edit: Sequence[Tuple[float, float]],
+    audio_len_samples: int,
+    mel: MelConfig,
+    fix_durations: Optional[Sequence[float]] = None,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Return (edited audio zeroing mask (T,), frame edit mask (N,), out_frames).
+
+    reference: speech_edit.py:140-161 — each edited span may be re-timed via
+    fix_durations; the output timeline stretches accordingly.
+    """
+    sr, hop = mel.target_sample_rate, mel.hop_length
+    keep_audio = []  # segments of original audio to copy
+    frame_keep = []
+    cursor = 0
+    offset = 0.0
+    for i, (start_s, end_s) in enumerate(parts_to_edit):
+        start, end = int(start_s * sr), int(end_s * sr)
+        part_dur = (end - start) if fix_durations is None else int(fix_durations[i] * sr)
+        # keep region before the span
+        keep_audio.append((cursor, start))
+        frame_keep.append((True, (start - cursor) // hop))
+        frame_keep.append((False, part_dur // hop))
+        cursor = end
+        offset += part_dur - (end - start)
+    keep_audio.append((cursor, audio_len_samples))
+    frame_keep.append((True, (audio_len_samples - cursor) // hop))
+
+    total_frames = sum(n for _, n in frame_keep)
+    mask = np.zeros(total_frames, bool)
+    pos = 0
+    for keep, n in frame_keep:
+        mask[pos : pos + n] = keep
+        pos += n
+    return np.asarray(keep_audio, np.int64), mask, total_frames
+
+
+def edit_speech(
+    engine,
+    wav: np.ndarray,
+    sr: int,
+    orig_text: str,
+    target_text: str,
+    parts_to_edit: Sequence[Tuple[float, float]],
+    *,
+    fix_durations: Optional[Sequence[float]] = None,
+    seed: int = 0,
+    nfe_steps: Optional[int] = None,
+    cfg_strength: Optional[float] = None,
+    sway: Optional[float] = None,
+):
+    """Infill the edit spans; returns (waveform, sr).
+
+    engine: infer.pipeline.TTSEngine. The non-edited regions keep the original
+    mel exactly (prompt overwrite, cfm.py:476); only edited spans are sampled.
+    """
+    from f5e_tts_tpu.infer.audio import resample
+
+    icfg = engine.infer_cfg
+    nfe = nfe_steps if nfe_steps is not None else icfg.nfe_steps
+    cfg = cfg_strength if cfg_strength is not None else icfg.cfg_strength
+    sway = sway if sway is not None else icfg.sway_sampling_coef
+
+    wav = resample(wav.astype(np.float32), sr, engine.mel.target_sample_rate)
+    sr = engine.mel.target_sample_rate
+    hop = engine.mel.hop_length
+
+    keep_segments, frame_mask, total_frames = build_edit_mask(
+        parts_to_edit, len(wav), engine.mel, fix_durations)
+
+    # build the time-stretched audio with zeros in edited spans
+    # (speech_edit.py:147-159)
+    out_audio = np.zeros(total_frames * hop, np.float32)
+    pos = 0
+    seg_iter = iter(keep_segments)
+    for keep, n in _runs(frame_mask):
+        if keep:
+            a, b = next(seg_iter)
+            seg = wav[a : a + n * hop]
+            out_audio[pos : pos + len(seg)] = seg
+        pos += n * hop
+    cond_mel = np.asarray(mel_spectrogram(jnp.asarray(out_audio[None]), engine.mel))
+    n_frames = min(cond_mel.shape[1], total_frames)
+
+    from f5e_tts_tpu.infer.pipeline import pick_bucket
+
+    bucket = pick_bucket(n_frames, engine.buckets)
+    text_ids = engine.tokenize([target_text])
+    edit_mask = np.zeros((1, bucket), bool)
+    edit_mask[0, :n_frames] = frame_mask[:n_frames]
+
+    inputs = fcfm.prepare_inputs(
+        jnp.asarray(cond_mel[:, :bucket]), jnp.asarray([n_frames]),
+        jnp.asarray([n_frames]), bucket, text_ids=jnp.asarray(text_ids),
+        edit_mask=jnp.asarray(edit_mask))
+    out, _ = fcfm.sample(engine.params, engine.state, engine.arch, engine.cfm, inputs,
+                         jax.random.PRNGKey(seed), steps=nfe, cfg_strength=cfg,
+                         sway_coef=sway, use_mask=True, compute_dtype=engine.compute_dtype)
+    mel_out = np.asarray(out[0, :n_frames], np.float32)
+    if engine.vocoder_decode is not None:
+        wave = np.asarray(engine.vocoder_decode(jnp.asarray(mel_out[None])))[0]
+    else:
+        wave = np.zeros(n_frames * hop, np.float32)
+    return wave, sr
+
+
+def _runs(mask: np.ndarray) -> List[Tuple[bool, int]]:
+    """RLE of a boolean array."""
+    runs = []
+    if len(mask) == 0:
+        return runs
+    cur, count = bool(mask[0]), 0
+    for v in mask:
+        if bool(v) == cur:
+            count += 1
+        else:
+            runs.append((cur, count))
+            cur, count = bool(v), 1
+    runs.append((cur, count))
+    return runs

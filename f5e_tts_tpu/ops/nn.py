@@ -79,14 +79,19 @@ def rmsnorm_init(dim: int, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+def _mm_precision(dtype):
+    """fp32 matmuls must request HIGHEST (XLA's default silently drops to
+    ~bf16 passes); bf16 inputs use the native single MXU pass — HIGHEST there
+    would force a slow multi-pass algorithm."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def linear(p, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    # Precision.HIGHEST is a no-op for bf16 inputs (native MXU pass) but keeps
-    # fp32-path matmuls at true fp32 — XLA's default silently drops precision.
-    y = jnp.matmul(x, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32, precision=_mm_precision(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype if compute_dtype is None else compute_dtype)
@@ -124,7 +129,7 @@ def conv1d(
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_mm_precision(x.dtype),
     )
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)

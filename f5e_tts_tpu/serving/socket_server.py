@@ -1,0 +1,141 @@
+"""Raw-socket streaming TTS server.
+
+reference: src/f5_tts/socket_server.py:72-215 — TCP server; each connection
+sends UTF-8 text, receives float32 PCM chunks followed by a b"END" sentinel.
+The model warms up (compiles the bucket set) at startup, so first-request
+latency is serving latency, not XLA compile latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import socket
+import struct
+import threading
+import traceback
+from typing import Optional
+
+import numpy as np
+
+
+class AudioFileWriterThread(threading.Thread):
+    """Background wav writer (reference: socket_server.py:32-69)."""
+
+    def __init__(self, output_file: str, sample_rate: int):
+        super().__init__(daemon=True)
+        self.output_file = output_file
+        self.sample_rate = sample_rate
+        self.queue: "queue.Queue[Optional[np.ndarray]]" = queue.Queue()
+        self.chunks = []
+
+    def run(self):
+        while True:
+            item = self.queue.get()
+            if item is None:
+                break
+            self.chunks.append(item)
+        if self.chunks and self.output_file:
+            from f5e_tts_tpu.infer.audio import write_wav
+
+            write_wav(self.output_file, np.concatenate(self.chunks), self.sample_rate)
+
+    def add_chunk(self, chunk: np.ndarray):
+        self.queue.put(chunk)
+
+    def stop(self):
+        self.queue.put(None)
+        self.join()
+
+
+class TTSStreamingProcessor:
+    """Holds the engine + ref audio; streams PCM chunks per request.
+
+    reference: socket_server.py:72-178 (init + warm-up + generate_stream).
+    """
+
+    def __init__(self, engine, ref_audio: np.ndarray, ref_sr: int, ref_text: str,
+                 chunk_size: int = 2048, nfe_steps: Optional[int] = None):
+        self.engine = engine
+        self.ref_audio = ref_audio
+        self.ref_sr = ref_sr
+        self.ref_text = ref_text
+        self.chunk_size = chunk_size
+        self.nfe_steps = nfe_steps
+        self.lock = threading.Lock()
+        self._warm_up()
+
+    def _warm_up(self):
+        """Compile the sampler before serving (socket_server.py:122-136)."""
+        stream = self.engine.infer(self.ref_audio, self.ref_sr, self.ref_text,
+                                   "warm up text for the model.",
+                                   nfe_steps=self.nfe_steps, streaming=True,
+                                   chunk_size=self.chunk_size)
+        for _ in stream:
+            pass
+
+    def generate_stream(self, text: str, send):
+        """Synthesize `text`, calling send(bytes) per float32 chunk + END."""
+        with self.lock:
+            stream = self.engine.infer(self.ref_audio, self.ref_sr, self.ref_text,
+                                       text, nfe_steps=self.nfe_steps, streaming=True,
+                                       chunk_size=self.chunk_size)
+            for chunk, _sr in stream:
+                if len(chunk):
+                    send(np.asarray(chunk, np.float32).tobytes())
+            send(b"END")
+
+
+def handle_client(conn: socket.socket, processor: TTSStreamingProcessor):
+    try:
+        with conn:
+            while True:
+                data = conn.recv(1024)
+                if not data:
+                    break
+                text = data.decode("utf-8").strip()
+                if not text:
+                    continue
+                processor.generate_stream(text, conn.sendall)
+    except Exception:
+        traceback.print_exc()
+
+
+def serve(processor: TTSStreamingProcessor, host: str = "0.0.0.0", port: int = 9998):
+    """reference: socket_server.py:203-215."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as srv:
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(5)
+        print(f"listening on {host}:{port}")
+        while True:
+            conn, addr = srv.accept()
+            threading.Thread(target=handle_client, args=(conn, processor), daemon=True).start()
+
+
+def main(argv=None):
+    from f5e_tts_tpu.api import F5TTS
+    from f5e_tts_tpu.infer.audio import read_wav
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=9998)
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--ckpt_file", default="")
+    p.add_argument("--vocab_file", default="")
+    p.add_argument("--vocoder_local_path", default=None)
+    p.add_argument("--ref_audio", required=True)
+    p.add_argument("--ref_text", default="")
+    p.add_argument("--nfe_step", type=int, default=32)
+    args = p.parse_args(argv)
+
+    tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
+                vocoder_local_path=args.vocoder_local_path)
+    wav, sr = read_wav(args.ref_audio)
+    processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
+                                      nfe_steps=args.nfe_step)
+    serve(processor, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
