@@ -1,0 +1,147 @@
+"""Dataset preparation: audio+transcript corpora -> Arrow + duration.json + vocab.txt.
+
+reference: src/f5_tts/train/datasets/prepare_csv_wavs.py (generic CSV corpus),
+prepare_libritts.py, prepare_emilia*.py, prepare_ljspeech.py,
+prepare_wenetspeech4tts.py. One generic pipeline here covers the same output
+contract (data/{name}_{tokenizer}/raw.arrow + duration.json + vocab.txt);
+per-corpus front-ends are thin manifest builders.
+
+Usage:
+  python -m f5e_tts_tpu.data.prepare csv --input corpus_dir --output data/my_pinyin
+  python -m f5e_tts_tpu.data.prepare ljspeech --input LJSpeech-1.1 --output ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from concurrent.futures import ProcessPoolExecutor
+from typing import Iterable, List, Optional, Tuple
+
+from f5e_tts_tpu.utils.text import convert_char_to_pinyin, repetition_found
+
+
+def _duration_of(path: str) -> float:
+    """Wav duration in seconds without decoding samples."""
+    import wave
+
+    with wave.open(path, "rb") as f:
+        return f.getnframes() / f.getframerate()
+
+
+def rows_from_csv(input_dir: str) -> Iterable[Tuple[str, str]]:
+    """metadata.csv with `audio_file|text` rows (prepare_csv_wavs.py layout)."""
+    meta = os.path.join(input_dir, "metadata.csv")
+    with open(meta, "r", encoding="utf-8-sig") as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) != 2 or parts[0] == "audio_file":
+                continue
+            wav = parts[0]
+            if not os.path.isabs(wav):
+                wav = os.path.join(input_dir, wav)
+            yield wav, parts[1]
+
+
+def rows_from_ljspeech(input_dir: str) -> Iterable[Tuple[str, str]]:
+    """LJSpeech metadata.csv: id|raw|normalized (prepare_ljspeech.py)."""
+    meta = os.path.join(input_dir, "metadata.csv")
+    with open(meta, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) < 3:
+                continue
+            yield os.path.join(input_dir, "wavs", parts[0] + ".wav"), parts[2]
+
+
+def rows_from_libritts(input_dir: str) -> Iterable[Tuple[str, str]]:
+    """LibriTTS layout: */*/*.wav with .normalized.txt (prepare_libritts.py:17-94)."""
+    for root, _dirs, files in os.walk(input_dir):
+        for name in files:
+            if name.endswith(".wav"):
+                txt = os.path.join(root, name.replace(".wav", ".normalized.txt"))
+                if os.path.exists(txt):
+                    with open(txt, "r", encoding="utf-8") as f:
+                        yield os.path.join(root, name), f.read().strip()
+
+
+def _process_row(row, min_dur=0.3, max_dur=30.0, filter_repetition=False):
+    wav, text = row
+    try:
+        dur = _duration_of(wav)
+    except Exception:
+        return None
+    if not (min_dur <= dur <= max_dur):
+        return None
+    if filter_repetition and repetition_found(text):
+        return None
+    return {"audio_path": wav, "text": text, "duration": dur}
+
+
+def prepare(
+    rows: Iterable[Tuple[str, str]],
+    output_dir: str,
+    tokenizer: str = "pinyin",
+    workers: int = 4,
+    filter_repetition: bool = False,
+) -> dict:
+    """Write raw.arrow + duration.json + vocab.txt (the load_dataset contract,
+    reference dataset.py:309-373)."""
+    os.makedirs(output_dir, exist_ok=True)
+    rows = list(rows)
+    if workers > 1:
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            processed = list(ex.map(_process_row, rows, chunksize=64))
+    else:
+        processed = [_process_row(r) for r in rows]
+    processed = [r for r in processed if r is not None]
+
+    from datasets import Dataset as ArrowDataset
+    from datasets.arrow_writer import ArrowWriter
+
+    path = os.path.join(output_dir, "raw.arrow")
+    with ArrowWriter(path=path) as writer:
+        for r in processed:
+            writer.write(r)
+        writer.finalize()
+
+    with open(os.path.join(output_dir, "duration.json"), "w", encoding="utf-8") as f:
+        json.dump({"duration": [r["duration"] for r in processed]}, f)
+
+    # vocab from the tokenized texts; space pinned at index 0 (utils.py:153)
+    texts = [r["text"] for r in processed]
+    if tokenizer == "pinyin":
+        try:
+            tokenized = convert_char_to_pinyin(texts)
+            chars = sorted({c for row in tokenized for c in row})
+        except ImportError:
+            chars = sorted({c for t in texts for c in t})
+    else:
+        chars = sorted({c for t in texts for c in t})
+    vocab = [" "] + [c for c in chars if c != " "]
+    with open(os.path.join(output_dir, "vocab.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(vocab) + "\n")
+
+    return {"rows": len(processed), "total_hours": sum(r["duration"] for r in processed) / 3600,
+            "vocab_size": len(vocab)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("corpus", choices=["csv", "ljspeech", "libritts"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--tokenizer", default="pinyin")
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--filter_repetition", action="store_true")
+    args = p.parse_args(argv)
+    rows = {"csv": rows_from_csv, "ljspeech": rows_from_ljspeech,
+            "libritts": rows_from_libritts}[args.corpus](args.input)
+    stats = prepare(rows, args.output, args.tokenizer, args.workers,
+                    args.filter_repetition)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,31 +109,60 @@ def conv1d(
     dilation: int = 1,
     compute_dtype=None,
 ) -> jnp.ndarray:
-    """1D conv over (B, N, D_in) -> (B, N', D_out). padding: 'SAME' | int | (lo, hi)."""
-    w = p["w"]
+    """1D conv over (B, N, D_in) -> (B, N, D_out), stride 1.
+
+    TPU note: XLA lowers 1-D convolutions extremely poorly on this target
+    (measured ~100x slower than the equivalent matmuls), so the conv is
+    expressed as a tap-unrolled sum of shifted slices:
+      depthwise -> K shift-multiply-accumulates on the VPU,
+      grouped   -> K batched (G, Cin, Cout/G) einsums on the MXU,
+      dense     -> K (D_in, D_out) matmuls on the MXU.
+    padding: int | (lo, hi); 'SAME' maps to k//2 for odd k.
+    """
+    w = p["w"]  # (K, D_in/groups, D_out)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    if isinstance(padding, int):
-        pad = [(padding, padding)]
-    elif isinstance(padding, tuple):
-        pad = [padding]
+    k, cin_g, d_out = w.shape
+    b, n, d_in = x.shape
+
+    if isinstance(padding, str):
+        assert padding == "SAME" and k % 2 == 1
+        pad_lo = pad_hi = dilation * (k - 1) // 2
+    elif isinstance(padding, int):
+        pad_lo = pad_hi = padding
     else:
-        pad = padding
-    y = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1,),
-        padding=pad,
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-        precision=_mm_precision(x.dtype),
-    )
+        pad_lo, pad_hi = padding
+    x_pad = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    n_out = x_pad.shape[1] - dilation * (k - 1)
+
+    acc = jnp.zeros((b, n_out, d_out), jnp.float32)
+    if groups == d_in and cin_g == 1:
+        # depthwise: pure VPU shift-MAC
+        for i in range(k):
+            acc = acc + x_pad[:, i * dilation : i * dilation + n_out, :].astype(jnp.float32) * w[i, 0, :].astype(jnp.float32)
+    elif groups == 1:
+        prec = _mm_precision(x.dtype)
+        for i in range(k):
+            acc = acc + jnp.matmul(
+                x_pad[:, i * dilation : i * dilation + n_out, :], w[i],
+                preferred_element_type=jnp.float32, precision=prec)
+    else:
+        g = groups
+        cout_g = d_out // g
+        xg = x_pad.reshape(b, x_pad.shape[1], g, cin_g)
+        wg = w.reshape(k, cin_g, g, cout_g)
+        prec = _mm_precision(x.dtype)
+        for i in range(k):
+            acc = acc + jnp.einsum(
+                "bngc,cgj->bngj",
+                xg[:, i * dilation : i * dilation + n_out], wg[i],
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(b, n_out, d_out)
+
     if "b" in p:
-        y = y + p["b"].astype(jnp.float32)
-    return y.astype(x.dtype)
+        acc = acc + p["b"].astype(jnp.float32)
+    return acc.astype(x.dtype)
 
 
 def layernorm(p: Optional[dict], x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

@@ -103,7 +103,8 @@ def test_sinus_time_embedding():
     freqs = np.exp(np.arange(half) * -emb)
     args = 1000.0 * t[:, None] * freqs[None, :]
     ref = np.concatenate([np.sin(args), np.cos(args)], axis=-1)
-    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    # fp32 trig at args up to ~1000 carries ~1e-4 abs error
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_freqs_cis_table():
