@@ -28,7 +28,7 @@ from f5e_tts_tpu.ops import convnext as fcnx
 from f5e_tts_tpu.ops import mas as fmas
 from f5e_tts_tpu.ops import vq as fvq
 from f5e_tts_tpu.ops.attention import attention, attention_init
-from f5e_tts_tpu.ops.rope import rotary_cos_sin
+from f5e_tts_tpu.ops.rope import rotary_cos_sin_half as rotary_cos_sin
 from f5e_tts_tpu.utils.masks import lens_to_mask
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from f5e_tts_tpu.config import MMDiTConfig
 from f5e_tts_tpu.ops import nn as fnn
 from f5e_tts_tpu.ops.attention import joint_attention, joint_attention_init
-from f5e_tts_tpu.ops.rope import rotary_cos_sin
+from f5e_tts_tpu.ops.rope import rotary_cos_sin_half as rotary_cos_sin
 
 
 def init_mmdit(key, cfg: MMDiTConfig, vocab_size: int):

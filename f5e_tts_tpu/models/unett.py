@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from f5e_tts_tpu.config import UNetTConfig
 from f5e_tts_tpu.ops import nn as fnn
 from f5e_tts_tpu.ops.attention import attention, attention_init
-from f5e_tts_tpu.ops.rope import rotary_cos_sin
+from f5e_tts_tpu.ops.rope import rotary_cos_sin_half as rotary_cos_sin
 from f5e_tts_tpu.models.dit import text_embed_fn as _dit_text_embed_fn
 
 

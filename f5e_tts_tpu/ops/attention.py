@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from f5e_tts_tpu.ops import nn as fnn
-from f5e_tts_tpu.ops.rope import apply_rotary
+from f5e_tts_tpu.ops.rope import apply_rotary_half as apply_rotary
 
 
 def sdpa(

@@ -38,6 +38,37 @@ from f5e_tts_tpu.parallel.mesh import dit_param_spec, tree_map_with_spec
 from f5e_tts_tpu.train import step as fstep
 
 
+def make_sample_logger(model_cfg: ModelConfig, vocab, tokenizer: str, save_dir: str,
+                       sample_text: str, ref_mel: "np.ndarray", ref_text: str,
+                       vocoder_decode=None, nfe: int = 32):
+    """Periodic audio sample logging hook (reference: trainer.py:434-490 —
+    runs inference on a fixed prompt every log_samples_per_updates, writes
+    update_N_gen.wav next to the checkpoints)."""
+    from f5e_tts_tpu.infer.audio import write_wav
+    from f5e_tts_tpu.infer.pipeline import TTSEngine
+
+    def sample_fn(ema_params, update: int):
+        import jax.numpy as jnp_
+
+        params = jax.tree.map(jnp.asarray, ema_params)
+        engine = TTSEngine(
+            params=params, state={}, arch=model_cfg.arch, vocab=vocab,
+            mel=model_cfg.mel, cfm=model_cfg.cfm, infer_cfg=model_cfg.infer,
+            tokenizer=tokenizer, vocoder_decode=vocoder_decode,
+            compute_dtype=jnp_.float32)
+        ref_frames = ref_mel.shape[0]
+        duration = ref_frames * 2
+        mel_gen = engine.synthesize_chunk(ref_mel[None], ref_text + " " + sample_text,
+                                          duration, seed=update, nfe_steps=nfe)
+        if vocoder_decode is not None:
+            wav = np.asarray(vocoder_decode(jnp.asarray(mel_gen[None])))[0]
+            write_wav(os.path.join(save_dir, f"update_{update}_gen.wav"), wav,
+                      model_cfg.mel.target_sample_rate)
+        np.save(os.path.join(save_dir, f"update_{update}_gen_mel.npy"), mel_gen)
+
+    return sample_fn
+
+
 def loss_with_device_mel(params, model_state, arch, cfm, mel_cfg: MelConfig,
                          batch, rng, compute_dtype):
     """cfm_loss, computing log-mel on device when the batch carries raw audio."""

@@ -21,6 +21,8 @@ from typing import Dict
 import numpy as np
 
 from f5e_tts_tpu.config import DiTConfig
+from f5e_tts_tpu.ops.rope import (half_split_perm, permute_qk_bias, permute_qk_weight,
+                                  unpermute_qk_bias, unpermute_qk_weight)
 
 
 _DROP_KEYS = (
@@ -136,14 +138,24 @@ def dit_from_torch(sd: Dict[str, np.ndarray], cfg: DiTConfig, prefix: str = "tra
     depth = len({m.group(1) for k in sd if (m := re.match(r"transformer_blocks\.(\d+)\.", k))})
     assert depth == cfg.depth, f"checkpoint depth {depth} != config depth {cfg.depth}"
 
+    def _qk_lin(key):
+        """q/k projections are stored in half-split rope layout (see
+        ops/rope.py): per-head output features permuted so the TPU-fast
+        rotation applies. Attention outputs are bit-identical to the
+        interleaved reference convention."""
+        p = {"w": permute_qk_weight(sd[f"{key}.weight"].T, cfg.heads)}
+        if f"{key}.bias" in sd:
+            p["b"] = permute_qk_bias(sd[f"{key}.bias"], cfg.heads)
+        return p
+
     blocks = []
     for i in range(depth):
         b = f"transformer_blocks.{i}"
         blk = {
             "attn_norm": _lin(sd, f"{b}.attn_norm.linear"),
             "attn": {
-                "to_q": _lin(sd, f"{b}.attn.to_q"),
-                "to_k": _lin(sd, f"{b}.attn.to_k"),
+                "to_q": _qk_lin(f"{b}.attn.to_q"),
+                "to_k": _qk_lin(f"{b}.attn.to_k"),
                 "to_v": _lin(sd, f"{b}.attn.to_v"),
                 "to_out": _lin(sd, f"{b}.attn.to_out.0"),
             },
@@ -153,8 +165,9 @@ def dit_from_torch(sd: Dict[str, np.ndarray], cfg: DiTConfig, prefix: str = "tra
             "ff2": _lin(sd, f"{b}.ff.ff.2"),
         }
         if cfg.qk_norm == "rms_norm":
-            blk["attn"]["q_norm"] = {"g": sd[f"{b}.attn.q_norm.weight"]}
-            blk["attn"]["k_norm"] = {"g": sd[f"{b}.attn.k_norm.weight"]}
+            perm = half_split_perm(cfg.dim_head)
+            blk["attn"]["q_norm"] = {"g": np.ascontiguousarray(sd[f"{b}.attn.q_norm.weight"][perm])}
+            blk["attn"]["k_norm"] = {"g": np.ascontiguousarray(sd[f"{b}.attn.k_norm.weight"][perm])}
         blocks.append(blk)
     import jax
 
@@ -222,18 +235,29 @@ def dit_to_torch(params, state, cfg: DiTConfig, prefix: str = "transformer.") ->
     # unstack blocks
     depth = cfg.depth
     blocks = [jax.tree.map(lambda a, i=i: np.asarray(a[i]), params["blocks"]) for i in range(depth)]
+    def put_qk_lin(key, p):
+        """Reverse the half-split rope permutation back to the reference's
+        interleaved layout (ops/rope.py)."""
+        out[f"{key}.weight"] = np.ascontiguousarray(
+            unpermute_qk_weight(np.asarray(p["w"]), cfg.heads).T)
+        if "b" in p:
+            out[f"{key}.bias"] = unpermute_qk_bias(np.asarray(p["b"]), cfg.heads)
+
+    inv_perm = np.argsort(half_split_perm(cfg.dim_head))
     for i, blk in enumerate(blocks):
         b = f"transformer_blocks.{i}"
         put_lin(f"{b}.attn_norm.linear", blk["attn_norm"])
-        put_lin(f"{b}.attn.to_q", blk["attn"]["to_q"])
-        put_lin(f"{b}.attn.to_k", blk["attn"]["to_k"])
+        put_qk_lin(f"{b}.attn.to_q", blk["attn"]["to_q"])
+        put_qk_lin(f"{b}.attn.to_k", blk["attn"]["to_k"])
         put_lin(f"{b}.attn.to_v", blk["attn"]["to_v"])
         put_lin(f"{b}.attn.to_out.0", blk["attn"]["to_out"])
         put_lin(f"{b}.ff.ff.0.0", blk["ff1"])
         put_lin(f"{b}.ff.ff.2", blk["ff2"])
         if "q_norm" in blk["attn"]:
-            out[f"{b}.attn.q_norm.weight"] = np.asarray(blk["attn"]["q_norm"]["g"])
-            out[f"{b}.attn.k_norm.weight"] = np.asarray(blk["attn"]["k_norm"]["g"])
+            out[f"{b}.attn.q_norm.weight"] = np.ascontiguousarray(
+                np.asarray(blk["attn"]["q_norm"]["g"])[inv_perm])
+            out[f"{b}.attn.k_norm.weight"] = np.ascontiguousarray(
+                np.asarray(blk["attn"]["k_norm"]["g"])[inv_perm])
 
     if cfg.long_skip_connection:
         out["long_skip_connection.weight"] = np.ascontiguousarray(np.asarray(params["long_skip"]["w"]).T)

@@ -133,6 +133,63 @@ def test_rotary_convention():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_half_split_rope_attention_equivalence():
+    """The TPU-fast path (weights permuted to half-split + apply_rotary_half)
+    must produce EXACTLY the same attention output as the reference
+    interleaved convention."""
+    from f5e_tts_tpu.ops.attention import attention
+
+    rng_ = np.random.default_rng(5)
+    b, n, heads, dh = 2, 12, 2, 8
+    dim = heads * dh
+    x = rng_.standard_normal((b, n, dim)).astype(np.float32)
+    p_ref = {
+        name: {"w": rng_.standard_normal((dim, dim)).astype(np.float32) * 0.1,
+               "b": rng_.standard_normal(dim).astype(np.float32) * 0.1}
+        for name in ("to_q", "to_k", "to_v", "to_out")
+    }
+
+    # reference math: interleaved rope applied to q/k heads
+    cos_i, sin_i = frope.rotary_cos_sin(dh, n)
+    q = (x @ p_ref["to_q"]["w"] + p_ref["to_q"]["b"]).reshape(b, n, heads, dh)
+    k = (x @ p_ref["to_k"]["w"] + p_ref["to_k"]["b"]).reshape(b, n, heads, dh)
+    v = (x @ p_ref["to_v"]["w"] + p_ref["to_v"]["b"]).reshape(b, n, heads, dh)
+    qr = np.asarray(frope.apply_rotary(jnp.asarray(q), jnp.asarray(cos_i)[None, :, None, :],
+                                       jnp.asarray(sin_i)[None, :, None, :]))
+    kr = np.asarray(frope.apply_rotary(jnp.asarray(k), jnp.asarray(cos_i)[None, :, None, :],
+                                       jnp.asarray(sin_i)[None, :, None, :]))
+    scores = np.einsum("bnhd,bmhd->bhnm", qr, kr) / np.sqrt(dh)
+    attn_w = np.exp(scores - scores.max(-1, keepdims=True))
+    attn_w /= attn_w.sum(-1, keepdims=True)
+    o = np.einsum("bhnm,bmhd->bnhd", attn_w, v).reshape(b, n, dim)
+    ref = o @ p_ref["to_out"]["w"] + p_ref["to_out"]["b"]
+
+    # our path: permuted weights + half-split tables
+    p_fast = {
+        "to_q": {"w": jnp.asarray(frope.permute_qk_weight(p_ref["to_q"]["w"], heads)),
+                 "b": jnp.asarray(frope.permute_qk_bias(p_ref["to_q"]["b"], heads))},
+        "to_k": {"w": jnp.asarray(frope.permute_qk_weight(p_ref["to_k"]["w"], heads)),
+                 "b": jnp.asarray(frope.permute_qk_bias(p_ref["to_k"]["b"], heads))},
+        "to_v": {"w": jnp.asarray(p_ref["to_v"]["w"]), "b": jnp.asarray(p_ref["to_v"]["b"])},
+        "to_out": {"w": jnp.asarray(p_ref["to_out"]["w"]), "b": jnp.asarray(p_ref["to_out"]["b"])},
+    }
+    cos_h, sin_h = frope.rotary_cos_sin_half(dh, n)
+    ours = np.asarray(attention(p_fast, jnp.asarray(x), heads,
+                                rope_cos=jnp.asarray(cos_h), rope_sin=jnp.asarray(sin_h),
+                                compute_dtype=jnp.float32))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_half_split_perm_roundtrip():
+    w = np.random.default_rng(0).standard_normal((10, 32)).astype(np.float32)
+    heads = 2
+    np.testing.assert_array_equal(
+        frope.unpermute_qk_weight(frope.permute_qk_weight(w, heads), heads), w)
+    b = np.random.default_rng(1).standard_normal(32).astype(np.float32)
+    np.testing.assert_array_equal(
+        frope.unpermute_qk_bias(frope.permute_qk_bias(b, heads), heads), b)
+
+
 def test_rotary_preserves_norm():
     dim_head, n = 64, 16
     cos, sin = frope.rotary_cos_sin(dim_head, n)
