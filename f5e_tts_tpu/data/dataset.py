@@ -41,11 +41,15 @@ class ArrowSpeechDataset:
     """
 
     def __init__(self, rows, durations: Optional[Sequence[float]] = None,
-                 mel: MelConfig = MelConfig(), preprocessed_mel: bool = False):
+                 mel: MelConfig = MelConfig(), preprocessed_mel: bool = False,
+                 with_16k_audio: bool = False):
         self.rows = rows
         self.durations = durations
         self.mel = mel
         self.preprocessed_mel = preprocessed_mel
+        # PPG training: also yield 16 kHz audio for on-the-fly extraction
+        # (reference dataset.py:219-226 yields 16 kHz kaldi fbank)
+        self.with_16k_audio = with_16k_audio
 
     @classmethod
     def from_dir(cls, path: str, mel: MelConfig = MelConfig()):
@@ -90,11 +94,17 @@ class ArrowSpeechDataset:
             from f5e_tts_tpu.infer.audio import read_wav
 
             wav, sr = read_wav(audio)
+        out = {"text": text}
+        if self.with_16k_audio:
+            from f5e_tts_tpu.infer.audio import resample
+
+            out["audio_16k"] = wav if sr == 16_000 else resample(wav, sr, 16_000)
         if sr != self.mel.target_sample_rate:
             from f5e_tts_tpu.infer.audio import resample
 
             wav = resample(wav, sr, self.mel.target_sample_rate)
-        return {"audio": wav, "text": text}
+        out["audio"] = wav
+        return out
 
 
 def pack_batches(
@@ -201,6 +211,17 @@ def collate(
         for i, it in enumerate(items):
             wavs[i, : min(len(it["audio"]), t)] = it["audio"][:t]
         out["audio"] = wavs
+
+    if "audio_16k" in items[0]:
+        lens16 = np.asarray([len(it["audio_16k"]) for it in items], np.int64)
+        t16 = _round_up(int(lens16.max()), 16_000 // 10)  # 100 ms multiples
+        a16 = np.zeros((b, t16), np.float32)
+        for i, it in enumerate(items):
+            a16[i, : len(it["audio_16k"])] = it["audio_16k"]
+        out["audio_16k"] = a16
+        lens16_p = np.zeros((b,), np.int32)
+        lens16_p[: len(items)] = lens16
+        out["audio_16k_lens"] = lens16_p
 
     mel_lens_p = np.zeros((b,), np.int32)
     mel_lens_p[: len(items)] = np.minimum(mel_lens, n)

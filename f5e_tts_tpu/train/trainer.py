@@ -94,6 +94,7 @@ class Trainer:
     tokenize: Callable
     log_fn: Optional[Callable[[dict, int], None]] = None
     sample_fn: Optional[Callable[[dict, int], None]] = None  # periodic audio logging hook
+    ppg_extractor: object = None  # frozen PPGExtractor for on-the-fly extraction
 
     def __post_init__(self):
         self.mesh = make_mesh(self.train_cfg.mesh)
@@ -253,6 +254,7 @@ class Trainer:
             "audio": sh("data", None), "mel": sh("data", None, None),
             "mel_lens": sh("data"), "text_ids": sh("data", None),
             "text_lens": sh("data"), "ppg": sh("data", None, None), "ppg_lens": sh("data"),
+            "audio_16k": sh("data", None), "audio_16k_lens": sh("data"),
         }
 
     def train(self, loader, epochs: Optional[int] = None, resume: bool = True,
@@ -276,6 +278,18 @@ class Trainer:
                     break
                 loader.sampler.set_epoch(epoch)
                 for batch in loader:
+                    if self.ppg_extractor is not None and "ppg" not in batch:
+                        # on-the-fly PPG extraction on device from the 16 kHz
+                        # audio carried by the batch (reference trainer.py:385-391
+                        # extracts from per-item kaldi fbank in the dataloader)
+                        assert "audio_16k" in batch, (
+                            "use_ppg training needs 16 kHz audio in the batch "
+                            "(build the dataset with with_16k_audio=True)")
+                        ppg, ppg_lens = self.ppg_extractor.audio_to_ppg(
+                            jnp.asarray(batch["audio_16k"]),
+                            jnp.asarray(batch["audio_16k_lens"]))
+                        batch["ppg"] = np.asarray(ppg)
+                        batch["ppg_lens"] = np.asarray(ppg_lens)
                     batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()
                              if k in shardings}
                     ts, metrics = step(ts, batch, rng)
