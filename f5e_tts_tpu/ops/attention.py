@@ -22,15 +22,55 @@ from f5e_tts_tpu.ops import nn as fnn
 from f5e_tts_tpu.ops.rope import apply_rotary_half as apply_rotary
 
 
+import os
+
+_USE_FLASH = os.environ.get("F5E_FLASH_ATTENTION", "1") != "0"
+
+
+def _flash_ok(q, k) -> bool:
+    """Pallas flash kernel constraints: TPU backend, seq multiple of the block
+    size, head_dim >= 128 after padding handled by kernel (dh 64 works)."""
+    if not _USE_FLASH:
+        return False
+    try:
+        if jax.default_backend() not in ("tpu",):
+            return False
+    except Exception:
+        return False
+    n, m = q.shape[1], k.shape[1]
+    return n == m and n % 128 == 0 and q.shape[-1] in (64, 128, 256)
+
+
 def sdpa(
     q: jnp.ndarray,  # (B, N, H, Dh)
     k: jnp.ndarray,  # (B, M, H, Dh)
     v: jnp.ndarray,  # (B, M, H, Dh)
     mask: Optional[jnp.ndarray] = None,  # (B, M) True=keep, key padding mask
 ) -> jnp.ndarray:
-    """Fused scaled-dot-product attention, (B, N, H, Dh) out."""
+    """Fused scaled-dot-product attention, (B, N, H, Dh) out.
+
+    On TPU, uses the Pallas flash-attention kernel (never materializes the
+    (N, N) score matrix — the XLA fallback's dominant HBM cost at long N);
+    padding is expressed as segment ids (pad tokens get segment 0, valid 1,
+    so valid queries never attend to padding). Falls back to
+    jax.nn.dot_product_attention elsewhere.
+    """
+    if _flash_ok(q, k):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+
+        qT = jnp.transpose(q, (0, 2, 1, 3))
+        kT = jnp.transpose(k, (0, 2, 1, 3))
+        vT = jnp.transpose(v, (0, 2, 1, 3))
+        seg = None
+        if mask is not None:
+            ids = mask.astype(jnp.int32) + 1  # valid=2, pad=1 (any distinct ids)
+            pad_ids = jnp.where(mask, ids, 0)
+            seg = SegmentIds(q=pad_ids, kv=pad_ids)
+        o = flash_attention(qT, kT, vT, segment_ids=seg, causal=False,
+                            sm_scale=float(1.0 / (q.shape[-1] ** 0.5)))
+        return jnp.transpose(o, (0, 2, 1, 3))
     if mask is not None:
-        # jax.nn.dot_product_attention mask: (B, 1, N, M) broadcastable bool
         attn_mask = mask[:, None, None, :]
     else:
         attn_mask = None

@@ -1,0 +1,140 @@
+"""HTTP JSON/wav TTS endpoint (stdlib http.server; Triton-client parity).
+
+reference: the Triton python-backend + HTTP client pair
+(src/f5_tts/runtime/triton_trtllm/model_repo_f5_tts/f5_tts/1/model.py +
+client_http.py). Here the "engine" is the AOT-warmed jitted sampler; requests
+POST JSON {"text": ..., ["nfe": N]} and receive a 16-bit PCM wav body.
+
+The warm-up pre-compiles the whole duration-bucket ladder so any request
+length is compile-free (the TRT engine achieves this with one max-shape
+engine; buckets avoid the wasted FLOPs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def warm_up_buckets(engine, ref_mel: np.ndarray, ref_text: str, nfe: int,
+                    buckets=None):
+    """Compile the sampler for every duration bucket (AOT ladder)."""
+    buckets = buckets or engine.buckets
+    ref_frames = ref_mel.shape[1]
+    for bucket in buckets:
+        if bucket <= ref_frames:
+            continue
+        engine.synthesize_chunk(ref_mel, ref_text + " warm up.",
+                                min(bucket, engine.infer_cfg.max_duration),
+                                nfe_steps=nfe, seed=0)
+
+
+class TTSHandler(BaseHTTPRequestHandler):
+    engine = None
+    ref_audio = None
+    ref_sr = None
+    ref_text = ""
+    nfe = 32
+    lock = threading.Lock()
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/health":
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def do_POST(self):
+        if self.path != "/tts":
+            self.send_response(404)
+            self.end_headers()
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            text = req["text"]
+            nfe = int(req.get("nfe", self.nfe))
+            with self.lock:
+                out, sr, _ = self.engine.infer(
+                    self.ref_audio, self.ref_sr, self.ref_text, text, nfe_steps=nfe,
+                    seed=int(req.get("seed", 0)))
+            body = wav_bytes(out, sr)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except Exception as e:  # noqa: BLE001
+            msg = json.dumps({"error": str(e)}).encode()
+            self.send_response(500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(msg)))
+            self.end_headers()
+            self.wfile.write(msg)
+
+
+def serve(engine, ref_audio, ref_sr, ref_text, host="0.0.0.0", port=8000, nfe=32,
+          warm=True):
+    if warm:
+        import jax.numpy as jnp
+
+        from f5e_tts_tpu.ops.mel import mel_spectrogram
+
+        ref_mel = np.asarray(mel_spectrogram(jnp.asarray(ref_audio[None]), engine.mel))
+        warm_up_buckets(engine, ref_mel, ref_text, nfe)
+    TTSHandler.engine = engine
+    TTSHandler.ref_audio = ref_audio
+    TTSHandler.ref_sr = ref_sr
+    TTSHandler.ref_text = ref_text
+    TTSHandler.nfe = nfe
+    srv = ThreadingHTTPServer((host, port), TTSHandler)
+    print(f"HTTP TTS on {host}:{port} (POST /tts)")
+    srv.serve_forever()
+
+
+def main(argv=None):
+    from f5e_tts_tpu.api import F5TTS
+    from f5e_tts_tpu.infer.audio import read_wav
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--ckpt_file", default="")
+    p.add_argument("--vocab_file", default="")
+    p.add_argument("--vocoder_local_path", default=None)
+    p.add_argument("--ref_audio", required=True)
+    p.add_argument("--ref_text", default="")
+    p.add_argument("--nfe", type=int, default=32)
+    p.add_argument("--no_warm", action="store_true")
+    args = p.parse_args(argv)
+    tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
+                vocoder_local_path=args.vocoder_local_path)
+    wav, sr = read_wav(args.ref_audio)
+    serve(tts.engine, wav, sr, args.ref_text, args.host, args.port, args.nfe,
+          warm=not args.no_warm)
+
+
+if __name__ == "__main__":
+    main()
