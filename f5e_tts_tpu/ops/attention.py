@@ -24,7 +24,12 @@ from f5e_tts_tpu.ops.rope import apply_rotary_half as apply_rotary
 
 import os
 
-_USE_FLASH = os.environ.get("F5E_FLASH_ATTENTION", "1") != "0"
+# Measured on v5e-lite (DiT Base, B=2, H=16, N=1536, dh=64): the Pallas flash
+# kernel REGRESSED end-to-end RTF 0.078 -> 0.138 vs XLA's fused attention
+# (dh=64 pads to 128 inside the kernel; small batch). Off by default; set
+# F5E_FLASH_ATTENTION=1 for long-sequence regimes where score materialization
+# dominates.
+_USE_FLASH = os.environ.get("F5E_FLASH_ATTENTION", "0") == "1"
 
 
 def _flash_ok(q, k) -> bool:
