@@ -184,6 +184,40 @@ def rmsnorm(p, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return (y * p["g"].astype(jnp.float32)).astype(x.dtype)
 
 
+def conv_transpose1d(p, x: jnp.ndarray, stride: int, padding: int = 0,
+                     compute_dtype=None) -> jnp.ndarray:
+    """1D transposed conv over (B, N, C_in) -> (B, (N-1)*stride - 2*padding + K, C_out).
+
+    p["w"] is stored PRE-FLIPPED in (K, C_in, C_out) layout (the checkpoint
+    loader flips torch's ConvTranspose1d (in, out, K) kernel), so the op is
+    zero-stuffing + a regular tap-unrolled conv1d — both TPU-fast paths.
+    """
+    w = p["w"]
+    k = w.shape[0]
+    b, n, c = x.shape
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    # zero-stuff: (B, N, C) -> (B, (N-1)*stride + 1, C)
+    if stride > 1:
+        z = jnp.zeros((b, n, stride - 1, c), x.dtype)
+        x = jnp.concatenate([x[:, :, None, :], z], axis=2).reshape(b, n * stride, c)
+        x = x[:, : (n - 1) * stride + 1]
+    pad = k - 1 - padding
+    return conv1d({"w": w, **({"b": p["b"]} if "b" in p else {})}, x,
+                  padding=(pad, pad), compute_dtype=compute_dtype)
+
+
+def conv_transpose1d_init(key, d_in: int, d_out: int, kernel: int, dtype=jnp.float32):
+    """torch ConvTranspose1d default init: U(±1/sqrt(out * k / groups))...
+    actually fan_in = out_channels * k for transposed; keep torch's rule."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_out * kernel)
+    return {
+        "w": _uniform(kw, (kernel, d_in, d_out), bound, dtype),
+        "b": _uniform(kb, (d_out,), bound, dtype),
+    }
+
+
 def batchnorm_init(dim: int):
     """BatchNorm1d params + running state (torch defaults: eps 1e-5, momentum 0.1)."""
     return (
