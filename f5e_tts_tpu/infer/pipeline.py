@@ -89,6 +89,68 @@ def cross_fade_stitch(waves: List[np.ndarray], sr: int, cross_fade_duration: flo
     return final.astype(np.float32)
 
 
+def preprocess_ref_audio_text(
+    wav: np.ndarray,
+    sr: int,
+    ref_text: str = "",
+    *,
+    clip_short: bool = True,
+    transcribe=None,  # optional callable(path_or_wav, sr) -> str
+    show_info=print,
+) -> Tuple[np.ndarray, str]:
+    """Reference-audio preparation (reference: utils_infer.py:293-361):
+
+    - clip to <= 12 s at a silence boundary (search long then short silences,
+      else hard cut at 12 s),
+    - trim trailing silence off the clip edge,
+    - auto-transcribe when ref_text is empty (requires an ASR callable — the
+      reference lazily loads Whisper-large-v3-turbo; offline builds must pass
+      one in, otherwise an error is raised),
+    - ensure terminating punctuation ('. ' appended, reference :353-360).
+    """
+    from f5e_tts_tpu.infer.audio import detect_leading_silence, remove_silence_edges
+
+    max_samples = 12 * sr
+    if clip_short and len(wav) > max_samples:
+        clipped = None
+        # prefer cutting at a long (>=500ms) silence after 6s, else short
+        for thresh_ms in (500, 200):
+            pos = 6 * sr
+            step = int(0.05 * sr)
+            best = None
+            while pos < min(len(wav), max_samples):
+                lead = detect_leading_silence(wav[pos:], sr)
+                if lead >= int(thresh_ms / 1000 * sr):
+                    best = pos
+                    break
+                pos += step
+            if best is not None:
+                clipped = wav[:best]
+                break
+        if clipped is None:
+            show_info("no proper silence found for clipping, hard cut at 12s")
+            clipped = wav[:max_samples]
+        else:
+            show_info(f"ref audio clipped to {len(clipped) / sr:.1f}s at a silence")
+        wav = remove_silence_edges(clipped, sr)
+
+    if not ref_text.strip():
+        if transcribe is None:
+            raise RuntimeError(
+                "ref_text is empty and no ASR transcriber was provided "
+                "(the reference auto-transcribes with Whisper; pass "
+                "transcribe=... with local ASR weights in this offline build)")
+        ref_text = transcribe(wav, sr)
+        show_info(f"transcribed ref text: {ref_text}")
+
+    ref_text = ref_text.strip()
+    if not ref_text.endswith((".", "。")):
+        ref_text += ". " if ref_text.endswith('"') else ". "
+    elif ref_text.endswith("."):
+        ref_text += " "
+    return wav, ref_text
+
+
 @dataclass
 class TTSEngine:
     """Holds model params + configs and serves synthesis requests.

@@ -1,0 +1,128 @@
+"""Dynamic request batcher: Triton `dynamic_batching` equivalent.
+
+reference: the Triton config (model_repo_f5_tts/f5_tts/config.pbtxt:15-18,
+max_batch 4 + dynamic batching) in front of the TRT-LLM engine. Here: a worker
+thread collects concurrent requests for up to `window_ms`, pads them into ONE
+fixed-(max_batch, bucket) sampler call (always padded to max_batch so exactly
+one compiled graph per bucket serves every load level), and fans results back
+out to per-request futures.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5e_tts_tpu.infer.pipeline import pick_bucket
+from f5e_tts_tpu.models import cfm as fcfm
+
+
+@dataclass
+class _Request:
+    ref_mel: np.ndarray  # (ref_frames, mel)
+    text_ids: np.ndarray  # (NT,)
+    duration: int
+    seed: int
+    future: Future
+
+
+class DynamicBatcher:
+    def __init__(self, engine, max_batch: int = 4, window_ms: float = 20.0,
+                 nfe_steps: Optional[int] = None, cfg_strength: Optional[float] = None,
+                 sway: Optional[float] = None, text_pad_to: int = 64):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        icfg = engine.infer_cfg
+        self.nfe = nfe_steps if nfe_steps is not None else icfg.nfe_steps
+        self.cfg_strength = cfg_strength if cfg_strength is not None else icfg.cfg_strength
+        self.sway = sway if sway is not None else icfg.sway_sampling_coef
+        self.text_pad_to = text_pad_to
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = False
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def submit(self, ref_mel: np.ndarray, text_ids: np.ndarray, duration: int,
+               seed: int = 0) -> Future:
+        fut: Future = Future()
+        self.queue.put(_Request(ref_mel, text_ids, duration, seed, fut))
+        return fut
+
+    def stop(self):
+        self._stop = True
+
+    # ------------------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        try:
+            first = self.queue.get(timeout=0.25)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = self.window_s
+        import time
+
+        t0 = time.perf_counter()
+        while len(batch) < self.max_batch:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while not self._stop:
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._process(batch)
+            except Exception as e:  # noqa: BLE001
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _process(self, batch: List[_Request]):
+        eng = self.engine
+        mel_dim = eng.mel.n_mel_channels
+        b = self.max_batch  # fixed batch -> one compile per bucket
+        bucket = pick_bucket(max(r.duration for r in batch), eng.buckets)
+        nt = -(-max(len(r.text_ids) for r in batch) // self.text_pad_to) * self.text_pad_to
+
+        conds = np.zeros((b, bucket, mel_dim), np.float32)
+        lens = np.ones((b,), np.int32)
+        durations = np.full((b,), 2, np.int32)
+        ids = np.full((b, nt), -1, np.int32)
+        for i, r in enumerate(batch):
+            rf = min(r.ref_mel.shape[0], bucket)
+            conds[i, :rf] = r.ref_mel[:rf]
+            lens[i] = rf
+            durations[i] = min(max(r.duration, rf + 1, len(r.text_ids) + 1), bucket)
+            ids[i, : min(len(r.text_ids), nt)] = r.text_ids[:nt]
+
+        inputs = fcfm.prepare_inputs(jnp.asarray(conds), jnp.asarray(lens),
+                                     jnp.asarray(durations), bucket,
+                                     text_ids=jnp.asarray(ids))
+        out, _ = fcfm.sample(eng.params, eng.state, eng.arch, eng.cfm, inputs,
+                             jax.random.PRNGKey(batch[0].seed), steps=self.nfe,
+                             cfg_strength=self.cfg_strength, sway_coef=self.sway,
+                             use_mask=True, compute_dtype=eng.compute_dtype)
+        out = np.asarray(out, np.float32)
+        for i, r in enumerate(batch):
+            mel_gen = out[i, int(lens[i]) : int(durations[i])]
+            if eng.vocoder_decode is not None:
+                wav = np.asarray(eng.vocoder_decode(jnp.asarray(mel_gen[None])))[0]
+            else:
+                wav = np.zeros(mel_gen.shape[0] * eng.mel.hop_length, np.float32)
+            r.future.set_result((wav, mel_gen))

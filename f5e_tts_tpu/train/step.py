@@ -46,10 +46,14 @@ def make_schedule(train: TrainConfig, total_updates: int, num_replicas: int = 1)
 
 def make_optimizer(train: TrainConfig, total_updates: int, num_replicas: int = 1):
     sched = make_schedule(train, total_updates, num_replicas)
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(train.max_grad_norm),
         optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0),
     )
+    if train.grad_accumulation_steps > 1:
+        # reference: accelerator.accumulate(model) (trainer.py:378)
+        opt = optax.MultiSteps(opt, every_k_schedule=train.grad_accumulation_steps)
+    return opt
 
 
 def init_train_state(params, model_state, optimizer) -> TrainState:

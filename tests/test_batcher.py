@@ -1,0 +1,93 @@
+"""Dynamic batcher + preprocess_ref_audio_text + grad accumulation tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
+from f5e_tts_tpu.infer.pipeline import TTSEngine, preprocess_ref_audio_text
+from f5e_tts_tpu.models import dit as fdit
+from f5e_tts_tpu.serving.batcher import DynamicBatcher
+from f5e_tts_tpu.utils.text import list_str_to_idx
+
+MEL = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
+                target_sample_rate=8000)
+ARCH = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,
+                 text_dim=16, conv_layers=0, dropout=0.0)
+VOCAB = {c: i for i, c in enumerate(" abcdefgh")}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), ARCH, len(VOCAB))
+    return TTSEngine(params=params, state=state, arch=ARCH, vocab=VOCAB, mel=MEL,
+                     cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=2, max_duration=512),
+                     tokenizer="char",
+                     vocoder_decode=lambda m: np.zeros((m.shape[0], m.shape[1] * 64),
+                                                       np.float32),
+                     compute_dtype=jnp.float32, buckets=(128, 256))
+
+
+def test_dynamic_batcher(engine, rng):
+    batcher = DynamicBatcher(engine, max_batch=4, window_ms=60, nfe_steps=2)
+    ids = list_str_to_idx([list("abc gh")], VOCAB)[0]
+    futs = []
+    for i in range(5):  # more than one batch
+        ref = rng.standard_normal((40 + 4 * i, 12)).astype(np.float32)
+        futs.append(batcher.submit(ref, ids, duration=90 + i, seed=i))
+    for i, f in enumerate(futs):
+        wav, mel_gen = f.result(timeout=300)
+        assert np.isfinite(wav).all()
+        assert mel_gen.shape[0] == (90 + i) - (40 + 4 * i)
+    batcher.stop()
+
+
+def test_preprocess_ref_audio_text():
+    sr = 8000
+    # 20 s audio with a long silence at ~8 s
+    t1 = (0.3 * np.sin(2 * np.pi * 220 * np.arange(8 * sr) / sr)).astype(np.float32)
+    gap = np.zeros(int(0.8 * sr), np.float32)
+    t2 = (0.3 * np.sin(2 * np.pi * 330 * np.arange(11 * sr) / sr)).astype(np.float32)
+    wav = np.concatenate([t1, gap, t2])
+    out, text = preprocess_ref_audio_text(wav, sr, "hello there", show_info=lambda *_: None)
+    assert len(out) <= 12 * sr
+    assert len(out) < len(wav)  # clipped at the silence
+    assert text == "hello there. "
+
+    # short audio untouched; punctuation normalized
+    short = t1[: 2 * sr]
+    out, text = preprocess_ref_audio_text(short, sr, "hi.", show_info=lambda *_: None)
+    assert len(out) == len(short)
+    assert text == "hi. "
+
+    # empty ref text without transcriber -> clear error
+    with pytest.raises(RuntimeError, match="ASR"):
+        preprocess_ref_audio_text(short, sr, "", show_info=lambda *_: None)
+
+    # with a transcriber
+    out, text = preprocess_ref_audio_text(short, sr, "",
+                                          transcribe=lambda w, s: "auto text",
+                                          show_info=lambda *_: None)
+    assert text.startswith("auto text")
+
+
+def test_grad_accumulation():
+    import optax
+
+    from f5e_tts_tpu.config import TrainConfig
+    from f5e_tts_tpu.train.step import make_optimizer
+
+    tc = TrainConfig(learning_rate=1e-2, num_warmup_updates=0, grad_accumulation_steps=2)
+    opt = make_optimizer(tc, total_updates=10)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    g = {"w": jnp.ones((3,))}
+    updates, state = opt.update(g, state, params)
+    p1 = optax.apply_updates(params, updates)
+    # first micro-step: no parameter change yet (accumulating)
+    np.testing.assert_allclose(np.asarray(p1["w"]), 1.0, atol=1e-8)
+    updates, state = opt.update(g, state, p1)
+    p2 = optax.apply_updates(p1, updates)
+    # second micro-step applies the real update
+    assert abs(float(p2["w"][0]) - 1.0) > 1e-5
