@@ -86,7 +86,7 @@ class ArrowSpeechDataset:
             if mel.ndim == 2 and mel.shape[0] == self.mel.n_mel_channels:
                 mel = mel.T  # channels-first legacy -> frames-first
             return {"mel": mel, "text": text}
-        audio = row["audio"]
+        audio = row["audio"] if "audio" in row else row["audio_path"]
         if isinstance(audio, dict):
             wav = np.asarray(audio["array"], np.float32)
             sr = int(audio.get("sampling_rate", self.mel.target_sample_rate))

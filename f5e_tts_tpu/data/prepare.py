@@ -66,6 +66,52 @@ def rows_from_libritts(input_dir: str) -> Iterable[Tuple[str, str]]:
                         yield os.path.join(root, name), f.read().strip()
 
 
+def rows_from_emilia(input_dir: str, languages=("ZH", "EN")) -> Iterable[Tuple[str, str]]:
+    """Emilia corpus: per-shard JSONL manifests {wav, text, language, dnsmos}.
+
+    reference: train/datasets/prepare_emilia.py — language filter + repetition
+    filter (applied downstream via filter_repetition=True) + out-of-charset
+    symbols dropped by the tokenizer itself.
+    """
+    import json as _json
+
+    for root, _dirs, files in os.walk(input_dir):
+        for name in files:
+            if not (name.endswith(".jsonl") or name.endswith(".json")):
+                continue
+            with open(os.path.join(root, name), "r", encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        obj = _json.loads(line)
+                    except _json.JSONDecodeError:
+                        continue
+                    lang = obj.get("language", obj.get("lang", ""))
+                    if languages and lang not in languages:
+                        continue
+                    wav = obj.get("wav") or obj.get("audio") or obj.get("path")
+                    text = obj.get("text", "")
+                    if not wav or not text:
+                        continue
+                    if not os.path.isabs(wav):
+                        wav = os.path.join(root, wav)
+                    yield wav, text
+
+
+def rows_from_wenetspeech4tts(input_dir: str) -> Iterable[Tuple[str, str]]:
+    """WenetSpeech4TTS: wavs + paired .txt transcripts
+    (reference: train/datasets/prepare_wenetspeech4tts.py)."""
+    for root, _dirs, files in os.walk(input_dir):
+        for name in files:
+            if name.endswith(".wav"):
+                txt = os.path.join(root, name[:-4] + ".txt")
+                if os.path.exists(txt):
+                    with open(txt, "r", encoding="utf-8") as f:
+                        yield os.path.join(root, name), f.read().strip()
+
+
 def _process_row(row, min_dur=0.3, max_dur=30.0, filter_repetition=False):
     wav, text = row
     try:
@@ -101,10 +147,16 @@ def prepare(
     from datasets.arrow_writer import ArrowWriter
 
     path = os.path.join(output_dir, "raw.arrow")
-    with ArrowWriter(path=path) as writer:
-        for r in processed:
-            writer.write(r)
-        writer.finalize()
+    if processed:
+        with ArrowWriter(path=path) as writer:
+            for r in processed:
+                writer.write(r)
+            writer.finalize()
+    else:
+        # typed empty dataset so downstream loaders still work
+        empty = ArrowDataset.from_dict({"audio_path": [], "text": [], "duration": []})
+        with ArrowWriter(path=path, features=empty.features) as writer:
+            writer.finalize()
 
     with open(os.path.join(output_dir, "duration.json"), "w", encoding="utf-8") as f:
         json.dump({"duration": [r["duration"] for r in processed]}, f)
@@ -129,7 +181,8 @@ def prepare(
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("corpus", choices=["csv", "ljspeech", "libritts"])
+    p.add_argument("corpus", choices=["csv", "ljspeech", "libritts", "emilia",
+                                      "wenetspeech4tts"])
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--tokenizer", default="pinyin")
@@ -137,7 +190,8 @@ def main(argv=None):
     p.add_argument("--filter_repetition", action="store_true")
     args = p.parse_args(argv)
     rows = {"csv": rows_from_csv, "ljspeech": rows_from_ljspeech,
-            "libritts": rows_from_libritts}[args.corpus](args.input)
+            "libritts": rows_from_libritts, "emilia": rows_from_emilia,
+            "wenetspeech4tts": rows_from_wenetspeech4tts}[args.corpus](args.input)
     stats = prepare(rows, args.output, args.tokenizer, args.workers,
                     args.filter_repetition)
     print(json.dumps(stats))

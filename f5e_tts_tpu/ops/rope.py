@@ -14,6 +14,7 @@ We precompute cos/sin tables host-side and fold them in as jit constants.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -110,9 +111,18 @@ def rotary_cos_sin_half(dim_head: int, max_pos: int, theta: float = 10000.0):
 
 
 def apply_rotary_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotary in half-split layout: rotate = concat(-x[d/2:], x[:d/2])."""
+    """Rotary in half-split layout: rotate = concat(-x[d/2:], x[:d/2]).
+
+    The result is pinned to the input dtype through an optimization barrier:
+    without it XLA elides the f32->bf16 convert into the following attention
+    dot and runs QK^T/AV in full fp32 (profiled at 66% of the whole sampler —
+    fp32 MXU is ~8x slower than bf16).
+    """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     half = x.shape[-1] // 2
     rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
-    return (xf * cos + rot * sin).astype(orig_dtype)
+    out = (xf * cos + rot * sin).astype(orig_dtype)
+    if orig_dtype != jnp.float32:
+        out = jax.lax.optimization_barrier(out)
+    return out
