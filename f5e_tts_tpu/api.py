@@ -25,7 +25,7 @@ from f5e_tts_tpu.infer.pipeline import TTSEngine
 from f5e_tts_tpu.models import backbone as fbb
 from f5e_tts_tpu.models.vocos import VocosConfig, init_vocos, load_vocos, vocos_decode
 from f5e_tts_tpu.utils import text as ftext
-from f5e_tts_tpu.utils.torch_ckpt import dit_from_torch, load_torch_state_dict
+from f5e_tts_tpu.utils.torch_ckpt import backbone_from_torch, load_torch_state_dict
 
 
 def load_vocoder(vocoder_path: Optional[str] = None, compute_dtype=jnp.bfloat16):
@@ -75,7 +75,7 @@ class F5TTS:
 
         if ckpt_file:
             sd = load_torch_state_dict(ckpt_file, use_ema=use_ema)
-            params, state = dit_from_torch(sd, arch)
+            params, state = backbone_from_torch(sd, arch)
             params = jax.tree.map(jnp.asarray, params)
             state = jax.tree.map(jnp.asarray, state)
         else:

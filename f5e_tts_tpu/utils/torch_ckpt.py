@@ -194,6 +194,140 @@ def dit_from_torch(sd: Dict[str, np.ndarray], cfg: DiTConfig, prefix: str = "tra
     return params, state
 
 
+def unett_from_torch(sd: Dict[str, np.ndarray], cfg, prefix: str = "transformer."):
+    """Map a reference UNetT (E2-TTS) state dict to our (params, state).
+
+    Torch module tree (reference: unett.py:106-250): layers.{i} is a
+    ModuleList [skip_proj, attn_norm(RMSNorm.g), attn, ff_norm(RMSNorm.g), ff];
+    skip_proj exists only in the later half. q/k projections are permuted to
+    the half-split rope layout like the DiT loader.
+    """
+    import jax
+
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def qk_lin(key):
+        p = {"w": permute_qk_weight(sd[f"{key}.weight"].T, cfg.heads)}
+        if f"{key}.bias" in sd:
+            p["b"] = permute_qk_bias(sd[f"{key}.bias"], cfg.heads)
+        return p
+
+    params: dict = {
+        "time_embed": {"mlp1": _lin(sd, "time_embed.time_mlp.0"),
+                       "mlp2": _lin(sd, "time_embed.time_mlp.2")},
+        "input_embed": {
+            "proj": _lin(sd, "input_embed.proj"),
+            "conv1": _conv(sd, "input_embed.conv_pos_embed.conv1d.0"),
+            "conv2": _conv(sd, "input_embed.conv_pos_embed.conv1d.2"),
+        },
+    }
+    n_text_blocks = len({m.group(1) for k in sd
+                         if (m := re.match(r"text_embed\.text_blocks\.(\d+)\.", k))})
+    params["text_embed"] = {
+        "embed": {"w": sd["text_embed.text_embed.weight"]},
+        "blocks": [_convnext_v2(sd, f"text_embed.text_blocks.{i}") for i in range(n_text_blocks)],
+    }
+
+    def one_layer(i, later_half):
+        base = f"layers.{i}"
+        layer = {
+            "attn_norm": {"g": sd[f"{base}.1.g"]},
+            "attn": {
+                "to_q": qk_lin(f"{base}.2.to_q"),
+                "to_k": qk_lin(f"{base}.2.to_k"),
+                "to_v": _lin(sd, f"{base}.2.to_v"),
+                "to_out": _lin(sd, f"{base}.2.to_out.0"),
+            },
+            "ff_norm": {"g": sd[f"{base}.3.g"]},
+            "ff1": _lin(sd, f"{base}.4.ff.0.0"),
+            "ff2": _lin(sd, f"{base}.4.ff.2"),
+        }
+        if later_half and f"{base}.0.weight" in sd:
+            layer["skip_proj"] = {"w": sd[f"{base}.0.weight"].T}
+        return layer
+
+    half = cfg.depth // 2
+    first = [one_layer(i, False) for i in range(half)]
+    second = [one_layer(i + half, True) for i in range(half)]
+    params["first_half"] = jax.tree.map(lambda *xs: np.stack(xs), *first)
+    params["second_half"] = jax.tree.map(lambda *xs: np.stack(xs), *second)
+    params["norm_out"] = {"g": sd["norm_out.g"]}
+    params["proj_out"] = _lin(sd, "proj_out")
+    return params, {}
+
+
+def unett_to_torch(params, state, cfg, prefix: str = "transformer.") -> Dict[str, np.ndarray]:
+    """Export UNetT params back to reference torch layout (inverse of
+    unett_from_torch)."""
+    import jax
+
+    out: Dict[str, np.ndarray] = {}
+
+    def put_lin(key, p):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+        if "b" in p:
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(p["b"]))
+
+    def put_conv(key, p):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).transpose(2, 1, 0))
+        if "b" in p:
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(p["b"]))
+
+    def put_qk(key, p):
+        out[f"{key}.weight"] = np.ascontiguousarray(
+            unpermute_qk_weight(np.asarray(p["w"]), cfg.heads).T)
+        if "b" in p:
+            out[f"{key}.bias"] = unpermute_qk_bias(np.asarray(p["b"]), cfg.heads)
+
+    put_lin("time_embed.time_mlp.0", params["time_embed"]["mlp1"])
+    put_lin("time_embed.time_mlp.2", params["time_embed"]["mlp2"])
+    out["text_embed.text_embed.weight"] = np.ascontiguousarray(
+        np.asarray(params["text_embed"]["embed"]["w"]))
+    for i, blk in enumerate(params["text_embed"]["blocks"]):
+        k = f"text_embed.text_blocks.{i}"
+        put_conv(f"{k}.dwconv", blk["dwconv"])
+        out[f"{k}.norm.weight"] = np.asarray(blk["norm"]["g"])
+        out[f"{k}.norm.bias"] = np.asarray(blk["norm"]["b"])
+        put_lin(f"{k}.pwconv1", blk["pwconv1"])
+        out[f"{k}.grn.gamma"] = np.ascontiguousarray(np.asarray(blk["grn"]["gamma"]).reshape(1, 1, -1))
+        out[f"{k}.grn.beta"] = np.ascontiguousarray(np.asarray(blk["grn"]["beta"]).reshape(1, 1, -1))
+        put_lin(f"{k}.pwconv2", blk["pwconv2"])
+    put_lin("input_embed.proj", params["input_embed"]["proj"])
+    put_conv("input_embed.conv_pos_embed.conv1d.0", params["input_embed"]["conv1"])
+    put_conv("input_embed.conv_pos_embed.conv1d.2", params["input_embed"]["conv2"])
+
+    half = cfg.depth // 2
+    for part, offset in (("first_half", 0), ("second_half", half)):
+        stacked = params[part]
+        for j in range(half):
+            layer = jax.tree.map(lambda a, j=j: np.asarray(a[j]), stacked)
+            base = f"layers.{offset + j}"
+            out[f"{base}.1.g"] = layer["attn_norm"]["g"]
+            put_qk(f"{base}.2.to_q", layer["attn"]["to_q"])
+            put_qk(f"{base}.2.to_k", layer["attn"]["to_k"])
+            put_lin(f"{base}.2.to_v", layer["attn"]["to_v"])
+            put_lin(f"{base}.2.to_out.0", layer["attn"]["to_out"])
+            out[f"{base}.3.g"] = layer["ff_norm"]["g"]
+            put_lin(f"{base}.4.ff.0.0", layer["ff1"])
+            put_lin(f"{base}.4.ff.2", layer["ff2"])
+            if "skip_proj" in layer:
+                out[f"{base}.0.weight"] = np.ascontiguousarray(np.asarray(layer["skip_proj"]["w"]).T)
+    out["norm_out.g"] = np.asarray(params["norm_out"]["g"])
+    put_lin("proj_out", params["proj_out"])
+    return {prefix + k: np.ascontiguousarray(v) for k, v in out.items()}
+
+
+def backbone_from_torch(sd: Dict[str, np.ndarray], arch, prefix: str = "transformer."):
+    """Dispatch checkpoint ingestion by backbone config type."""
+    from f5e_tts_tpu.config import DiTConfig as _D, UNetTConfig as _U
+
+    if isinstance(arch, _U):
+        return unett_from_torch(sd, arch, prefix)
+    if isinstance(arch, _D):
+        return dit_from_torch(sd, arch, prefix)
+    raise NotImplementedError(f"no torch ingestion for {type(arch).__name__} yet")
+
+
 def dit_to_torch(params, state, cfg: DiTConfig, prefix: str = "transformer.") -> Dict[str, np.ndarray]:
     """Export our pytree back to reference-layout torch keys (for interop/tests)."""
     import jax
