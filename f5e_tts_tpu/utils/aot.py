@@ -1,0 +1,76 @@
+"""AOT export/import of jitted computations (jax.export).
+
+The TRT-LLM runtime's moral equivalent of engine files: serialize the lowered
+sampler per duration bucket so serving startup skips JIT compilation entirely
+(compiles on this environment's remote-compile path take minutes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def export_fn(fn: Callable, args, path: str) -> None:
+    """Serialize a jitted function specialized to `args` shapes into `path`."""
+    from jax import export as jexport
+
+    exp = jexport.export(jax.jit(fn))(*jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args))
+    blob = exp.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_fn(path: str) -> Callable:
+    """Load a serialized computation; returns a callable over device arrays."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    return jax.jit(exp.call)
+
+
+def export_sampler_buckets(engine, ref_frames: int, out_dir: str,
+                           buckets: Sequence[int] | None = None,
+                           nfe: int = 32, text_len: int = 256) -> list:
+    """Export the folded-CFG sampler for each duration bucket.
+
+    Returns the list of written paths. Serving loads them with load_fn and
+    calls with (params, cond, lens, duration, text_ids, key-ints).
+    """
+    import numpy as np
+
+    from f5e_tts_tpu.models import cfm as fcfm
+
+    buckets = list(buckets or engine.buckets)
+    paths = []
+    for bucket in buckets:
+        if bucket <= ref_frames:
+            continue
+
+        def synth(params, cond, lens, duration, text_ids, seed):
+            inputs = fcfm.prepare_inputs(cond, lens, duration, bucket, text_ids=text_ids)
+            out, _ = fcfm.sample(params, engine.state, engine.arch, engine.cfm, inputs,
+                                 jax.random.PRNGKey(seed[0]), steps=nfe,
+                                 cfg_strength=engine.infer_cfg.cfg_strength,
+                                 sway_coef=engine.infer_cfg.sway_sampling_coef,
+                                 use_mask=True, compute_dtype=engine.compute_dtype)
+            return out
+
+        args = (
+            engine.params,
+            jnp.zeros((1, ref_frames, engine.mel.n_mel_channels), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, text_len), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+        path = os.path.join(out_dir, f"sampler_nfe{nfe}_ref{ref_frames}_b{bucket}.jaxexport")
+        export_fn(synth, args, path)
+        paths.append(path)
+    return paths

@@ -1,0 +1,48 @@
+"""AOT export/import tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from f5e_tts_tpu.utils.aot import export_fn, load_fn
+
+
+def test_export_roundtrip(tmp_path, rng):
+    w = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+
+    def f(w, x):
+        return jnp.tanh(x @ w)
+
+    x = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+    path = str(tmp_path / "f.jaxexport")
+    export_fn(f, (w, x), path)
+    g = load_fn(path)
+    np.testing.assert_allclose(np.asarray(g(w, x)), np.asarray(f(w, x)),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_export_sampler_bucket(tmp_path, rng):
+    from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
+    from f5e_tts_tpu.infer.pipeline import TTSEngine
+    from f5e_tts_tpu.models import dit as fdit
+    from f5e_tts_tpu.utils.aot import export_sampler_buckets
+
+    mel = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=8,
+                    target_sample_rate=8000)
+    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=8,
+                     text_dim=16, conv_layers=0, dropout=0.0)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, 9)
+    engine = TTSEngine(params=params, state=state, arch=arch, vocab={" ": 0},
+                       mel=mel, cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=2),
+                       tokenizer="char", vocoder_decode=None,
+                       compute_dtype=jnp.float32, buckets=(64,))
+    paths = export_sampler_buckets(engine, ref_frames=16, out_dir=str(tmp_path),
+                                   nfe=2, text_len=8)
+    assert len(paths) == 1
+    g = load_fn(paths[0])
+    out = g(engine.params,
+            jnp.zeros((1, 16, 8), jnp.float32), jnp.asarray([16], jnp.int32),
+            jnp.asarray([48], jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            jnp.asarray([0], jnp.int32))
+    assert out.shape == (1, 64, 8)
+    assert np.isfinite(np.asarray(out)).all()
