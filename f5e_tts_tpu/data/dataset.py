@@ -258,12 +258,23 @@ class DataLoader:
 
 def build_loader(dataset: ArrowSpeechDataset, tokenize, frames_threshold: int,
                  max_samples: int = 64, seed: Optional[int] = 666,
-                 len_multiple: int = 128) -> DataLoader:
-    """load_dataset + DynamicBatchSampler equivalent (dataset.py:309-373)."""
+                 len_multiple: int = 128, batch_size_type: str = "frame") -> DataLoader:
+    """load_dataset + DynamicBatchSampler equivalent (dataset.py:309-373).
+
+    batch_size_type "frame": frame-budget packing (the reference default);
+    "sample": fixed-count batches of `max_samples` over the length-sorted order
+    (reference batch_size_type="sample", trainer.py:283-298).
+    """
     mel = dataset.mel
     lens = [dataset.get_frame_len(i) for i in range(len(dataset))]
     min_frames = frame_len_of(0.3, mel)
     max_frames = frame_len_of(30.0, mel)
-    batches = pack_batches(lens, frames_threshold, max_samples, min_frames, max_frames)
+    if batch_size_type == "sample":
+        order = [i for i in sorted(range(len(lens)), key=lambda i: lens[i])
+                 if min_frames <= lens[i] <= max_frames]
+        bs = max(max_samples, 1)
+        batches = [order[i : i + bs] for i in range(0, len(order), bs)]
+    else:
+        batches = pack_batches(lens, frames_threshold, max_samples, min_frames, max_frames)
     sampler = FramePackedSampler(batches, seed=seed)
     return DataLoader(dataset, sampler, tokenize, len_multiple)

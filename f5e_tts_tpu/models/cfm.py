@@ -199,6 +199,7 @@ def sample(
     sway_coef: Optional[float] = -1.0,
     use_mask: bool = True,
     t_start: float = 0.0,
+    test_cond: Optional[jnp.ndarray] = None,  # duplicate_test diagnostic
     compute_dtype=jnp.bfloat16,
 ):
     """Standard 2-pass CFG sampler: pred + (pred - null_pred) * cfg.
@@ -224,6 +225,10 @@ def sample(
     step_fn = _folded_cfg_flow(params, state, arch, inputs, branches, weights, mask, compute_dtype)
 
     y0 = noise_like(key, b, n, mel_dim, inputs.duration)
+    if test_cond is not None:
+        # duplicate_test diagnostic (reference cfm.py:410-412, 461-465): start
+        # the ODE at t_start from a mix of noise and the shifted ground truth
+        y0 = (1.0 - t_start) * y0 + t_start * test_cond
     ts = jnp.asarray(sway_timesteps(steps, sway_coef, t_start))
     y_final, traj = _ode_scan(step_fn, y0, ts, cfm.ode_method)
 

@@ -32,18 +32,22 @@ import os
 _USE_FLASH = os.environ.get("F5E_FLASH_ATTENTION", "0") == "1"
 
 
-def _flash_ok(q, k) -> bool:
-    """Pallas flash kernel constraints: TPU backend, seq multiple of the block
-    size, head_dim >= 128 after padding handled by kernel (dh 64 works)."""
-    if not _USE_FLASH:
-        return False
+def _backend_is_tpu() -> bool:
     try:
-        if jax.default_backend() not in ("tpu",):
-            return False
+        return jax.default_backend() == "tpu"
     except Exception:
+        return False
+
+
+def _flash_ok(q, k) -> bool:
+    """Stock Pallas flash kernel constraints."""
+    if not _USE_FLASH or not _backend_is_tpu():
         return False
     n, m = q.shape[1], k.shape[1]
     return n == m and n % 128 == 0 and q.shape[-1] in (64, 128, 256)
+
+
+_USE_PALLAS_FULLKV = os.environ.get("F5E_PALLAS_ATTENTION", "1") != "0"
 
 
 def sdpa(
@@ -54,12 +58,24 @@ def sdpa(
 ) -> jnp.ndarray:
     """Fused scaled-dot-product attention, (B, N, H, Dh) out.
 
-    On TPU, uses the Pallas flash-attention kernel (never materializes the
-    (N, N) score matrix — the XLA fallback's dominant HBM cost at long N);
-    padding is expressed as segment ids (pad tokens get segment 0, valid 1,
-    so valid queries never attend to padding). Falls back to
-    jax.nn.dot_product_attention elsewhere.
+    TPU default: the custom full-K-in-VMEM Pallas kernel
+    (ops/pallas_attention.py) — scores never touch HBM, the dominant cost of
+    the XLA path at these shapes. Stock flash kernel available behind
+    F5E_FLASH_ATTENTION=1 (measured slower here); XLA fallback elsewhere.
+
+    NOTE on masks: the kernel takes key-validity LENGTHS, i.e. it assumes the
+    padding mask is a length prefix (True...False...) — which is what
+    lens_to_mask produces everywhere in this framework.
     """
+    if _USE_PALLAS_FULLKV and _backend_is_tpu():
+        from f5e_tts_tpu.ops.pallas_attention import mha_fullkv, supported
+
+        if supported(q, k):
+            if mask is not None:
+                kv_lens = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            else:
+                kv_lens = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
+            return mha_fullkv(q, k, v, kv_lens)
     if _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)

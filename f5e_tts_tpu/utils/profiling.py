@@ -42,6 +42,11 @@ def wallclock(label: str, results: Optional[dict] = None):
         print(f"[{label}] {dt * 1e3:.1f} ms")
 
 
+def start_server(port: int = 9999) -> None:
+    """On-demand profiling server (capture via xprof / tensorboard profile)."""
+    jax.profiler.start_server(port)
+
+
 def count_params(params) -> int:
     return sum(x.size for x in jax.tree.leaves(params))
 

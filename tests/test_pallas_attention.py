@@ -1,0 +1,62 @@
+"""Pallas full-KV attention kernel: correctness in interpret mode on CPU."""
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from f5e_tts_tpu.ops import pallas_attention as pa
+
+
+def _interpret_fullkv(q, k, v, kv_lens, block_q):
+    """Run the kernel in interpreter mode (CPU)."""
+    b, n, h, dh = q.shape
+    sm_scale = 1.0 / math.sqrt(dh)
+    to_bh = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+    out = pl.pallas_call(
+        functools.partial(pa._attn_kernel, sm_scale=sm_scale, heads=h,
+                          block_q=block_q, n=n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, kv_len_ref: (bh, iq, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, kv_len_ref: (bh, 0, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, kv_len_ref: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, kv_len_ref: (bh, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        interpret=True,
+    )(kv_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v))
+    return jnp.transpose(out.reshape(b, h, n, dh), (0, 2, 1, 3))
+
+
+def test_fullkv_matches_reference(rng):
+    b, n, h, dh = 2, 256, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    kv_lens = jnp.asarray([n, 150], jnp.int32)
+    ours = np.asarray(_interpret_fullkv(q, k, v, kv_lens, block_q=128))
+    mask = jnp.arange(n)[None, :] < kv_lens[:, None]
+    ref = np.asarray(jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, None, :]))
+    np.testing.assert_allclose(ours[0], ref[0], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ours[1, :150], ref[1, :150], rtol=2e-3, atol=2e-3)
+    assert not np.isnan(ours).any()
+
+
+def test_supported_gate():
+    q = jnp.zeros((1, 1536, 16, 64), jnp.bfloat16)
+    assert pa.supported(q, q)
+    q2 = jnp.zeros((1, 1000, 16, 64), jnp.bfloat16)  # not divisible
+    assert not pa.supported(q2, q2)
+    q3 = jnp.zeros((1, 1536, 16, 32), jnp.bfloat16)  # dh unsupported
+    assert not pa.supported(q3, q3)
+    q4 = jnp.zeros((1, 8192, 16, 64), jnp.bfloat16)  # scores too big for VMEM
+    assert not pa.supported(q4, q4)
