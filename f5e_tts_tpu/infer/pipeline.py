@@ -89,6 +89,27 @@ def cross_fade_stitch(waves: List[np.ndarray], sr: int, cross_fade_duration: flo
     return final.astype(np.float32)
 
 
+class CachedTranscriber:
+    """Wraps an ASR callable with an audio-hash keyed cache.
+
+    reference: utils_infer.py:148-179, 334-348 — the reference caches Whisper
+    transcriptions by the md5 of the (clipped) reference audio so repeated
+    calls with the same prompt skip ASR.
+    """
+
+    def __init__(self, transcribe):
+        self._transcribe = transcribe
+        self._cache: dict = {}
+
+    def __call__(self, wav: np.ndarray, sr: int) -> str:
+        import hashlib
+
+        key = hashlib.md5(np.ascontiguousarray(wav, np.float32).tobytes()).hexdigest()
+        if key not in self._cache:
+            self._cache[key] = self._transcribe(wav, sr)
+        return self._cache[key]
+
+
 def preprocess_ref_audio_text(
     wav: np.ndarray,
     sr: int,

@@ -126,6 +126,24 @@ def attention(
         q = fnn.rmsnorm(p["q_norm"], q)
         k = fnn.rmsnorm(p["k_norm"], k)
 
+    # fused rope+attention fast path (Pallas): rotation on VMEM tiles
+    if (_USE_PALLAS_FULLKV and rope_cos is not None and _backend_is_tpu()):
+        from f5e_tts_tpu.ops.pallas_attention import mha_fullkv_rope, supported
+
+        if supported(q, k):
+            if mask is not None:
+                kv_lens = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            else:
+                kv_lens = jnp.full((b,), n, jnp.int32)
+            rope_heads = pe_attn_head if pe_attn_head is not None else heads
+            o = mha_fullkv_rope(q, k, v, kv_lens, rope_cos[:n], rope_sin[:n],
+                                rope_heads)
+            o = o.reshape(b, n, heads * dh)
+            o = fnn.linear(p["to_out"], o, compute_dtype)
+            if mask is not None:
+                o = jnp.where(mask[:, :, None], o, 0.0).astype(o.dtype)
+            return o
+
     if rope_cos is not None:
         cos = rope_cos[None, :n, None, :]
         sin = rope_sin[None, :n, None, :]

@@ -100,6 +100,96 @@ def mha_fullkv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.transpose(out.reshape(b, h, n, dh), (0, 2, 1, 3))
 
 
+def _rot_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _attn_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, cos_q_ref, sin_q_ref,
+                      cos_k_ref, sin_k_ref, o_ref, *, sm_scale: float, heads: int,
+                      rope_heads: int, n: int):
+    """Fused rope + attention: rotation happens on VMEM-resident tiles, saving
+    the HBM round-trips of a standalone rope op (profiled ~142 ms/synth)."""
+    bh = pl.program_id(0)
+    h_idx = bh % heads
+
+    q = q_ref[0].astype(jnp.float32)  # (block_q, dh)
+    k = k_ref[0].astype(jnp.float32)  # (n, dh)
+    v = v_ref[0]
+
+    qr = q * cos_q_ref[...] + _rot_half(q) * sin_q_ref[...]
+    kr = k * cos_k_ref[...] + _rot_half(k) * sin_k_ref[...]
+    use_rope = h_idx < rope_heads
+    q = jnp.where(use_rope, qr, q).astype(v.dtype)
+    k = jnp.where(use_rope, kr, k).astype(v.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+
+    kv_len = kv_len_ref[bh // heads]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(l, 1e-30)
+
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "rope_heads", "interpret"))
+def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    kv_lens: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                    rope_heads: int, block_q: int = 512,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Like mha_fullkv, with half-split rotary fused in.
+
+    cos/sin: (N, dh) fp32 half-split tables; rope applies to the first
+    `rope_heads` heads (pe_attn_head semantics; pass heads for all).
+    """
+    b, n, h, dh = q.shape
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    def to_bh(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_rope_kernel, sm_scale=sm_scale, heads=h,
+                          rope_heads=rope_heads, n=n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, s_: (bh, 0, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, s_: (bh, 0, 0)),
+                pl.BlockSpec((block_q, dh), lambda bh, iq, s_: (iq, 0)),
+                pl.BlockSpec((block_q, dh), lambda bh, iq, s_: (iq, 0)),
+                pl.BlockSpec((n, dh), lambda bh, iq, s_: (0, 0)),
+                pl.BlockSpec((n, dh), lambda bh, iq, s_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v),
+      cos.astype(jnp.float32), sin.astype(jnp.float32),
+      cos.astype(jnp.float32), sin.astype(jnp.float32))
+
+    return jnp.transpose(out.reshape(b, h, n, dh), (0, 2, 1, 3))
+
+
 def supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 512) -> bool:
     """Shape gate: same q/kv length, divisible by block, dh in {64, 128},
     K+V+scores within a conservative VMEM budget."""

@@ -272,12 +272,19 @@ class Trainer:
         start_update = int(ts.update)
         t0 = time.time()
         done = False
+        # dataloader fast-forward on resume (reference trainer.py:347-352:
+        # accelerator.skip_first_batches) — replay the seeded schedule up to
+        # the restored update count
+        skip_epochs, skip_batches = divmod(start_update, max(len(loader), 1))
         with self.mesh:
-            for epoch in range(epochs):
+            for epoch in range(skip_epochs, epochs):
                 if done:
                     break
                 loader.sampler.set_epoch(epoch)
-                for batch in loader:
+                to_skip = skip_batches if epoch == skip_epochs else 0
+                for bi, batch in enumerate(loader):
+                    if bi < to_skip:
+                        continue
                     if self.ppg_extractor is not None and "ppg" not in batch:
                         # on-the-fly PPG extraction on device from the 16 kHz
                         # audio carried by the batch (reference trainer.py:385-391

@@ -51,6 +51,32 @@ def test_fullkv_matches_reference(rng):
     assert not np.isnan(ours).any()
 
 
+def test_fused_rope_matches_reference(rng):
+    from f5e_tts_tpu.ops.rope import apply_rotary_half, rotary_cos_sin_half
+
+    b, n, h, dh = 2, 256, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    kv_lens = jnp.asarray([n, 200], jnp.int32)
+    cos, sin = rotary_cos_sin_half(dh, n)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    for rope_heads in (h, 1):  # all heads, and pe_attn_head=1
+        ours = np.asarray(pa.mha_fullkv_rope(q, k, v, kv_lens, cos, sin,
+                                             rope_heads=rope_heads, block_q=128,
+                                             interpret=True))
+        qr = apply_rotary_half(q[:, :, :rope_heads], cos[None, :, None, :], sin[None, :, None, :])
+        kr = apply_rotary_half(k[:, :, :rope_heads], cos[None, :, None, :], sin[None, :, None, :])
+        qq = jnp.concatenate([qr, q[:, :, rope_heads:]], axis=2)
+        kk = jnp.concatenate([kr, k[:, :, rope_heads:]], axis=2)
+        mask = jnp.arange(n)[None, :] < kv_lens[:, None]
+        ref = np.asarray(jax.nn.dot_product_attention(qq, kk, v, mask=mask[:, None, None, :]))
+        np.testing.assert_allclose(ours[0], ref[0], rtol=2e-3, atol=2e-3,
+                                   err_msg=f"rope_heads={rope_heads}")
+        np.testing.assert_allclose(ours[1, :200], ref[1, :200], rtol=2e-3, atol=2e-3)
+
+
 def test_supported_gate():
     q = jnp.zeros((1, 1536, 16, 64), jnp.bfloat16)
     assert pa.supported(q, q)

@@ -103,9 +103,10 @@ def test_trainer_loop_and_resume(tmp_path):
     assert os.path.exists(tmp_path / "ckpts" / "model_last.orbax")
     assert os.path.exists(tmp_path / "ckpts" / "model_last.safetensors")
 
-    # resume continues from update 5
+    # resume continues from update 5 (epoch/batch fast-forward skips the
+    # first 5 scheduled batches, reference trainer.py:347-352)
     trainer2 = Trainer(model_cfg, train_cfg, vocab_size=len(VOCAB), tokenize=_tokenize)
-    ts2, _ = trainer2.train(loader, epochs=1, resume=True, max_updates=7)
+    ts2, _ = trainer2.train(loader, epochs=10, resume=True, max_updates=7)
     assert int(ts2.update) == 7
 
 
