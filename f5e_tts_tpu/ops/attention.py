@@ -68,14 +68,14 @@ def sdpa(
     lens_to_mask produces everywhere in this framework.
     """
     if _USE_PALLAS_FULLKV and _backend_is_tpu():
-        from f5e_tts_tpu.ops.pallas_attention import mha_fullkv, supported
+        from f5e_tts_tpu.ops.pallas_attention import mha_fullkv_ad, supported
 
         if supported(q, k):
             if mask is not None:
                 kv_lens = jnp.sum(mask.astype(jnp.int32), axis=-1)
             else:
                 kv_lens = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
-            return mha_fullkv(q, k, v, kv_lens)
+            return mha_fullkv_ad(q, k, v, kv_lens)
     if _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)
@@ -128,7 +128,7 @@ def attention(
 
     # fused rope+attention fast path (Pallas): rotation on VMEM tiles
     if (_USE_PALLAS_FULLKV and rope_cos is not None and _backend_is_tpu()):
-        from f5e_tts_tpu.ops.pallas_attention import mha_fullkv_rope, supported
+        from f5e_tts_tpu.ops.pallas_attention import mha_fullkv_rope_ad, supported
 
         if supported(q, k):
             if mask is not None:
@@ -136,8 +136,8 @@ def attention(
             else:
                 kv_lens = jnp.full((b,), n, jnp.int32)
             rope_heads = pe_attn_head if pe_attn_head is not None else heads
-            o = mha_fullkv_rope(q, k, v, kv_lens, rope_cos[:n], rope_sin[:n],
-                                rope_heads)
+            o = mha_fullkv_rope_ad(q, k, v, kv_lens, rope_cos[:n], rope_sin[:n],
+                                   rope_heads)
             o = o.reshape(b, n, heads * dh)
             o = fnn.linear(p["to_out"], o, compute_dtype)
             if mask is not None:

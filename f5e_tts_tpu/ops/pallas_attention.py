@@ -68,6 +68,7 @@ def mha_fullkv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     N*dh*2 (K+V per head) must fit VMEM alongside the (block_q, N) f32 scores.
     """
     b, n, h, dh = q.shape
+    block_q = min(block_q, n)
     assert n % block_q == 0, (n, block_q)
     sm_scale = 1.0 / math.sqrt(dh)
 
@@ -155,6 +156,7 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     `rope_heads` heads (pe_attn_head semantics; pass heads for all).
     """
     b, n, h, dh = q.shape
+    block_q = min(block_q, n)
     assert n % block_q == 0, (n, block_q)
     sm_scale = 1.0 / math.sqrt(dh)
 
@@ -190,11 +192,80 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.transpose(out.reshape(b, h, n, dh), (0, 2, 1, 3))
 
 
+# ---------------------------------------------------------------------------
+# autodiff: pallas forward + XLA-recompute backward (custom VJP)
+#
+# The kernels above are forward-only; training differentiates attention, so we
+# wrap them in custom_vjp whose backward recomputes the reference attention in
+# plain XLA and differentiates that (correct, memory-heavier — a fused bwd
+# kernel is a future optimization).
+# ---------------------------------------------------------------------------
+
+
+def _reference_attn(q, k, v, kv_lens):
+    mask = jnp.arange(k.shape[1])[None, :] < kv_lens[:, None]
+    return jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, None, :])
+
+
+def _reference_rope_attn(q, k, v, kv_lens, cos, sin, rope_heads):
+    from f5e_tts_tpu.ops.rope import apply_rotary_half
+
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    qr = jnp.concatenate([apply_rotary_half(q[:, :, :rope_heads], c, s),
+                          q[:, :, rope_heads:]], axis=2)
+    kr = jnp.concatenate([apply_rotary_half(k[:, :, :rope_heads], c, s),
+                          k[:, :, rope_heads:]], axis=2)
+    return _reference_attn(qr, kr, v, kv_lens)
+
+
+@jax.custom_vjp
+def mha_fullkv_ad(q, k, v, kv_lens):
+    return mha_fullkv(q, k, v, kv_lens)
+
+
+def _fullkv_fwd(q, k, v, kv_lens):
+    return mha_fullkv(q, k, v, kv_lens), (q, k, v, kv_lens)
+
+
+def _fullkv_bwd(res, g):
+    q, k, v, kv_lens = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attn(q_, k_, v_, kv_lens), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+mha_fullkv_ad.defvjp(_fullkv_fwd, _fullkv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def mha_fullkv_rope_ad(q, k, v, kv_lens, cos, sin, rope_heads):
+    return mha_fullkv_rope(q, k, v, kv_lens, cos, sin, rope_heads)
+
+
+def _rope_fwd(q, k, v, kv_lens, cos, sin, rope_heads):
+    return (mha_fullkv_rope(q, k, v, kv_lens, cos, sin, rope_heads),
+            (q, k, v, kv_lens, cos, sin))
+
+
+def _rope_bwd(rope_heads, res, g):
+    q, k, v, kv_lens, cos, sin = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_rope_attn(q_, k_, v_, kv_lens, cos, sin, rope_heads),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None, None
+
+
+mha_fullkv_rope_ad.defvjp(_rope_fwd, _rope_bwd)
+
+
 def supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 512) -> bool:
     """Shape gate: same q/kv length, divisible by block, dh in {64, 128},
     K+V+scores within a conservative VMEM budget."""
     b, n, h, dh = q.shape
-    if k.shape != q.shape or n % block_q or dh not in (64, 128):
+    block_q = min(block_q, n)
+    if k.shape != q.shape or n % block_q or n % 128 or dh not in (64, 128):
         return False
     vmem = n * dh * 2 * 2 + block_q * n * 4 + block_q * dh * 8
     return vmem < 12 * 1024 * 1024
