@@ -176,6 +176,33 @@ def load_whisper_asr(model_path: str, lang: str = "en") -> Callable[[str], str]:
     return transcribe
 
 
+def load_wavlm_xvector(model_path: str) -> Callable[[str], np.ndarray]:
+    """Speaker embedder via transformers WavLMForXVector (local weights).
+
+    The reference uses WavLM-large + a custom ECAPA-TDNN head
+    (eval/ecapa_tdnn.py + utils_eval.py:714-719); WavLMForXVector is the
+    equivalent packaged head — plug either into score_sim's embed_fn.
+    """
+    if not os.path.exists(model_path):
+        raise FileNotFoundError(
+            f"WavLM x-vector weights not found at {model_path} (offline build)")
+    import torch
+    from transformers import WavLMForXVector
+
+    model = WavLMForXVector.from_pretrained(model_path).eval()
+
+    def embed(path: str) -> np.ndarray:
+        from f5e_tts_tpu.infer.audio import read_wav, resample
+
+        wav, sr = read_wav(path)
+        wav = resample(wav, sr, 16_000)
+        with torch.no_grad():
+            out = model(input_values=torch.from_numpy(wav[None]))
+        return out.embeddings[0].numpy()
+
+    return embed
+
+
 def load_utmos(model_path: str) -> Callable[[str], float]:
     """UTMOS strong scorer (reference loads tarepan/SpeechMOS via torch.hub,
     eval_utmos.py:10-42). Needs a local scripted checkpoint."""

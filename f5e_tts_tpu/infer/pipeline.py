@@ -201,7 +201,23 @@ class TTSEngine:
             toks = ftext.convert_char_to_pinyin(list(texts))
         elif self.tokenizer == "phone-level-pinyin":
             toks = ftext.convert_char_to_finer_pinyin(list(texts))
-        else:  # char / custom / g2p-mix pre-tokenized
+        elif self.tokenizer == "g2p-mix":
+            # reference: eval/utils_eval.py:177-183 — G2pMix phonemization with
+            # a space between word tokens (except symbols)
+            try:
+                from g2p_mix import G2pMix
+            except ImportError as e:
+                raise ImportError("g2p-mix tokenizer needs the g2p_mix package") from e
+            g2p = getattr(self, "_g2p", None) or G2pMix()
+            self._g2p = g2p
+            toks = []
+            for t in texts:
+                items = g2p.g2p(t)
+                phones = list(items[0].phones) if items else []
+                for token in items[1:]:
+                    phones += list(token.phones) if token.lang == "SYM" else [" "] + list(token.phones)
+                toks.append(phones)
+        else:  # char / custom pre-tokenized
             toks = [list(t) for t in texts]
         if self.use_intersperse:
             toks = ftext.intersperse(toks)

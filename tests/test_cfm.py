@@ -117,6 +117,40 @@ def test_sample_tts_weights():
     np.testing.assert_allclose(w @ flows, ref, rtol=1e-6)
 
 
+def test_masked_unmasked_equivalence(model, rng):
+    """SURVEY hard-part: the reference skips the attention mask for batch=1
+    (cfm.py:425-428); masked and unmasked paths must agree for a full-length
+    batch so that behavior is a pure optimization."""
+    params, state = model
+    b, n = 1, 24
+    cond = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, VOCAB, (b, 6)).astype(np.int32))
+    inputs = fcfm.prepare_inputs(cond, jnp.asarray([10]), jnp.asarray([n]), n, text_ids=text)
+    key = jax.random.PRNGKey(11)
+    out_m, _ = fcfm.sample(params, state, TINY, CFM, inputs, key, steps=2,
+                           cfg_strength=2.0, use_mask=True, compute_dtype=jnp.float32)
+    out_u, _ = fcfm.sample(params, state, TINY, CFM, inputs, key, steps=2,
+                           cfg_strength=2.0, use_mask=False, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_u), rtol=1e-4, atol=1e-5)
+
+
+def test_duplicate_test_probe(model, rng):
+    """duplicate_test: start the ODE at t_inter from a shifted copy of the
+    ground truth (reference cfm.py:151-152, 410-412)."""
+    params, state = model
+    inputs = _mk_inputs(rng)
+    test_cond = jnp.asarray(rng.standard_normal((2, 24, TINY.mel_dim)).astype(np.float32))
+    out, traj = fcfm.sample(params, state, TINY, CFM, inputs, jax.random.PRNGKey(2),
+                            steps=2, cfg_strength=1.0, t_start=0.1, test_cond=test_cond,
+                            compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
+    # trajectory starts from the mixed state, not pure noise
+    y0 = np.asarray(traj[0])
+    pure_noise = np.asarray(fcfm.noise_like(jax.random.PRNGKey(2), 2, 24, TINY.mel_dim,
+                                            inputs.duration))
+    assert np.abs(y0 - pure_noise).max() > 1e-6
+
+
 def test_cfm_loss(model, rng):
     params, state = model
     b, n, nt = 2, 24, 6
