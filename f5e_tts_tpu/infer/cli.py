@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speed", type=float, default=None)
     p.add_argument("--fix_duration", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--asr_model", default=None,
+                   help="local whisper weights dir for auto-transcribing empty ref_text")
     return p
 
 
@@ -90,6 +92,17 @@ def split_voices(gen_text: str) -> list:
     return out
 
 
+def _tmp_wav(wav, sr) -> str:
+    """Write a temp wav for transcribers that take file paths."""
+    import tempfile
+
+    from f5e_tts_tpu.infer.audio import write_wav
+
+    f = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+    write_wav(f.name, wav, sr)
+    return f.name
+
+
 def main(argv=None):
     import numpy as np
 
@@ -116,10 +129,30 @@ def main(argv=None):
         config_file=cfg.get("model_cfg"),
     )
 
-    # voices: main + named (reference: infer_cli.py:290-305)
+    # voices: main + named (reference: infer_cli.py:290-305), each preprocessed
+    # (silence clip + optional auto-transcription, utils_infer.py:293-361)
+    transcriber = None
+    if cfg.get("asr_model"):
+        from f5e_tts_tpu.eval.scorers import load_whisper_asr
+        from f5e_tts_tpu.infer.pipeline import CachedTranscriber
+
+        asr = load_whisper_asr(cfg["asr_model"])
+        transcriber = CachedTranscriber(
+            lambda wav, sr: asr(_tmp_wav(wav, sr)))
+
     voices = {"main": {"ref_audio": cfg["ref_audio"], "ref_text": cfg.get("ref_text", "")}}
     for name, v in cfg.get("voices", {}).items():
         voices[name] = {"ref_audio": v["ref_audio"], "ref_text": v.get("ref_text", "")}
+    from f5e_tts_tpu.infer.pipeline import preprocess_ref_audio_text
+
+    for name, v in voices.items():
+        wav, sr = faudio.read_wav(v["ref_audio"])
+        try:
+            wav, text = preprocess_ref_audio_text(wav, sr, v["ref_text"],
+                                                  transcribe=transcriber)
+        except RuntimeError as e:
+            raise SystemExit(f"voice [{name}]: {e}")
+        v["wav"], v["sr"], v["ref_text"] = wav, sr, text
 
     segments = split_voices(gen_text)
     waves = []
@@ -134,17 +167,17 @@ def main(argv=None):
             print(f"warning: voice [{voice}] not defined, using main")
             voice = "main"
         v = voices[voice]
-        wav, sr, _ = tts.infer(
-            v["ref_audio"], v["ref_text"], text,
-            target_rms=cfg.get("target_rms", 0.1),
+        wav, sr, _ = tts.engine.infer(
+            v["wav"], v["sr"], v["ref_text"], text,
+            seed=cfg.get("seed") or 0,
             cross_fade_duration=cfg.get("cross_fade_duration", 0.15),
-            sway_sampling_coef=cfg.get("sway_sampling_coef", -1.0),
+            sway=cfg.get("sway_sampling_coef", -1.0),
             cfg_strength=cfg.get("cfg_strength", 2.0),
-            nfe_step=cfg.get("nfe_step", 32),
+            nfe_steps=cfg.get("nfe_step", 32),
             speed=cfg.get("speed", 1.0),
             fix_duration=cfg.get("fix_duration"),
-            seed=cfg.get("seed"),
         )
+        tts.seed = cfg.get("seed") or 0
         waves.append(wav)
         if chunk_dir is not None:
             faudio.write_wav(os.path.join(chunk_dir, f"{i}_{voice}.wav"), wav, sr)

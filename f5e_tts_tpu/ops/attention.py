@@ -1,14 +1,20 @@
 """Multi-head attention core.
 
-Default path uses `jax.nn.dot_product_attention`, which XLA lowers to a fused
-flash-attention-style kernel on TPU. Heads-last (B, N, H, Dh) layout is used to
-avoid transposes (XLA's preferred layout); a Pallas flash kernel can slot in
-behind the same signature later.
+TPU default: the custom fused rope+attention Pallas kernel
+(ops/pallas_attention.py, full K/V in VMEM — see BENCHMARKS.md for why the
+stock flash kernel and the XLA path both lose here). CPU / unsupported shapes
+fall back to `jax.nn.dot_product_attention`. Heads-last (B, N, H, Dh) layout
+throughout. Training differentiates through a custom VJP (XLA-recompute bwd).
 
 reference semantics: src/f5_tts/model/modules.py:435-503 (AttnProcessor) —
 non-causal SDPA, optional qk RMSNorm per head, RoPE applied to q/k (optionally
 only the first `pe_attn_head` heads), padding mask on keys, masked fill of the
 output rows.
+
+NOTE on tensor-parallel serving: pallas_call has no GSPMD partitioning rule,
+so under a sharded 'model' axis XLA replicates the kernel (correct but
+wasteful); set F5E_PALLAS_ATTENTION=0 for TP deployments until the kernel is
+shard_mapped.
 """
 
 from __future__ import annotations
