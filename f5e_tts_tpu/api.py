@@ -99,6 +99,18 @@ class F5TTS:
         )
         self.seed: Optional[int] = None
 
+    def transcribe(self, ref_audio: str, language: Optional[str] = None,
+                   asr_model_path: Optional[str] = None) -> str:
+        """Transcribe a reference audio file (reference: api.py:87-88).
+
+        Needs local whisper weights (offline build, no auto-download)."""
+        from f5e_tts_tpu.eval.scorers import load_whisper_asr
+
+        if asr_model_path is None:
+            raise RuntimeError("pass asr_model_path=<local whisper dir> "
+                               "(no model auto-download in this build)")
+        return load_whisper_asr(asr_model_path, language or "en")(ref_audio)
+
     def export_wav(self, wav: np.ndarray, file_wave: str, remove_silence: bool = False):
         if remove_silence:
             wav = faudio.remove_silence_edges(wav, self.target_sample_rate)

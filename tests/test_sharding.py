@@ -98,6 +98,43 @@ def test_train_step_dp_tp(rng):
     assert float(m1.grad_norm) > 0
 
 
+def test_sampler_under_dp_mesh(rng):
+    """The full folded-CFG sampler runs with a data-sharded batch on the mesh
+    (serving-at-scale: prompt batches sharded over chips)."""
+    from f5e_tts_tpu.config import CFMConfig
+    from f5e_tts_tpu.models import cfm as fcfm
+
+    mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), TINY, VOCAB)
+    params["proj_out"] = {
+        "w": jnp.asarray(rng.standard_normal((TINY.dim, TINY.mel_dim)).astype(np.float32)) * 0.02,
+        "b": jnp.zeros((TINY.mel_dim,), jnp.float32),
+    }
+    b, n = 4, 32
+    cond = jnp.asarray(rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, VOCAB, (b, 8)).astype(np.int32))
+    inputs = fcfm.prepare_inputs(cond, jnp.full((b,), 12), jnp.full((b,), n), n,
+                                 text_ids=text)
+    key = jax.random.PRNGKey(5)
+    ref, _ = fcfm.sample(params, state, TINY, CFMConfig(), inputs, key, steps=2,
+                         cfg_strength=2.0, compute_dtype=jnp.float32)
+
+    with mesh:
+        sharded_params = tree_map_with_spec(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params,
+            dit_param_spec(TINY))
+        sh = lambda *s: NamedSharding(mesh, P(*s))
+        inputs_s = fcfm.SamplerInputs(
+            cond=jax.device_put(inputs.cond, sh("data", None, None)),
+            cond_mask=jax.device_put(inputs.cond_mask, sh("data", None)),
+            duration=jax.device_put(inputs.duration, sh("data")),
+            text_ids=jax.device_put(inputs.text_ids, sh("data", None)),
+            ppg=None)
+        out, _ = fcfm.sample(sharded_params, state, TINY, CFMConfig(), inputs_s, key,
+                             steps=2, cfg_strength=2.0, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=1e-5)
+
+
 def test_dryrun_multichip_entry():
     """The driver-facing dryrun runs on the 8-device CPU mesh."""
     import sys, os
