@@ -12,14 +12,13 @@ directly once present on disk.
 from __future__ import annotations
 
 import random
-import sys
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from f5e_tts_tpu.config import CFMConfig, InferConfig, ModelConfig, load_yaml, preset
+from f5e_tts_tpu.config import CFMConfig, ModelConfig, load_yaml, preset
 from f5e_tts_tpu.infer import audio as faudio
 from f5e_tts_tpu.infer.pipeline import TTSEngine
 from f5e_tts_tpu.models import backbone as fbb

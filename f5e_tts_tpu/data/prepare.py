@@ -17,7 +17,7 @@ import argparse
 import json
 import os
 from concurrent.futures import ProcessPoolExecutor
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, Tuple
 
 from f5e_tts_tpu.utils.text import convert_char_to_pinyin, repetition_found
 

@@ -16,8 +16,6 @@ import os
 
 
 def main(argv=None):
-    import jax.numpy as jnp
-
     from f5e_tts_tpu.api import F5TTS
     from f5e_tts_tpu.eval import harness as fh
 

@@ -12,8 +12,6 @@ clear error, and `build_app()` is importable for environments that have it.
 from __future__ import annotations
 
 import re
-from typing import Optional
-
 
 def _require_gradio():
     try:

@@ -6,8 +6,6 @@ Mirrors how the reference CFM treats `self.transformer` polymorphically
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from f5e_tts_tpu.config import DiTConfig, MMDiTConfig, UNetTConfig

@@ -17,7 +17,6 @@ reference: src/f5_tts/model/cfm.py. TPU-first sampler design:
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Optional
 

@@ -20,7 +20,6 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from f5e_tts_tpu.config import DiTConfig
 from f5e_tts_tpu.ops import nn as fnn

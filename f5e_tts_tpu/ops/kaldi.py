@@ -16,7 +16,6 @@ against a straight-line numpy implementation of the same published spec
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

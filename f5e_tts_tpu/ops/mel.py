@@ -18,7 +18,6 @@ Filterbanks are precomputed host-side in float64 numpy and embedded as constants
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

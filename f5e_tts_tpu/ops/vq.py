@@ -12,7 +12,6 @@ calls `set_num_updates`, so the temperature stays at temp_start. We expose
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 import queue
 import socket
-import struct
 import threading
 import traceback
 from typing import Optional

@@ -8,10 +8,7 @@ import. The Whisper transcription tab needs local ASR weights (offline build).
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -14,8 +14,6 @@ import os
 
 
 def main(argv=None):
-    import jax
-
     from f5e_tts_tpu.config import load_train_yaml, load_yaml
     from f5e_tts_tpu.data.dataset import ArrowSpeechDataset, build_loader
     from f5e_tts_tpu.train.trainer import Trainer

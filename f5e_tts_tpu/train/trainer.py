@@ -20,8 +20,7 @@ import json
 import os
 import re
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from f5e_tts_tpu.config import CFMConfig, MelConfig, ModelConfig, TrainConfig
+from f5e_tts_tpu.config import MelConfig, ModelConfig, TrainConfig
 from f5e_tts_tpu.models import backbone as fbb
 from f5e_tts_tpu.models import cfm as fcfm
 from f5e_tts_tpu.ops.mel import mel_spectrogram

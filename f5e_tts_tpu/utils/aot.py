@@ -43,8 +43,6 @@ def export_sampler_buckets(engine, ref_frames: int, out_dir: str,
     Returns the list of written paths. Serving loads them with load_fn and
     calls with (params, cond, lens, duration, text_ids, key-ints).
     """
-    import numpy as np
-
     from f5e_tts_tpu.models import cfm as fcfm
 
     buckets = list(buckets or engine.buckets)

@@ -80,8 +80,6 @@ def report_model_stats(cfg, vocab_size: int = 2545, seconds: float = 20.0,
                        hop: int = 256, sr: int = 24000) -> dict:
     """Params + GFLOPs for a given audio length (reference prints DiT-Base
     335.8M / 363.4 GFLOPs @ 20 s)."""
-    import jax.numpy as jnp
-
     from f5e_tts_tpu.models import backbone as fbb
 
     params, _ = fbb.init_backbone(jax.random.PRNGKey(0), cfg, vocab_size)
