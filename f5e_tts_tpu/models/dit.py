@@ -158,18 +158,20 @@ def text_embed_fn(
 
     emb = fnn.embedding(params["text_embed"]["embed"], ids).astype(compute_dtype)
 
-    # absolute sinus position table (dit.py:71-76)
-    table = jnp.asarray(fnn.precompute_freqs_cis(text_dim, cfg.max_pos))
-    emb = emb + table[:seq_len][None, :, :].astype(compute_dtype)
+    # "extra modeling" applies ONLY when conv layers exist (dit.py:44-51,71-85):
+    # abs sinus position table + ConvNeXtV2 blocks (+ padding re-masking)
+    if cfg.conv_layers > 0:
+        table = jnp.asarray(fnn.precompute_freqs_cis(text_dim, cfg.max_pos))
+        emb = emb + table[:seq_len][None, :, :].astype(compute_dtype)
 
-    if text_mask is not None:
-        emb = jnp.where(text_mask[:, :, None], 0.0, emb).astype(compute_dtype)
-        for blk in params["text_embed"]["blocks"]:
-            emb = fcnx.convnext_v2(blk, emb, compute_dtype=compute_dtype)
+        if text_mask is not None:
             emb = jnp.where(text_mask[:, :, None], 0.0, emb).astype(compute_dtype)
-    else:
-        for blk in params["text_embed"]["blocks"]:
-            emb = fcnx.convnext_v2(blk, emb, compute_dtype=compute_dtype)
+            for blk in params["text_embed"]["blocks"]:
+                emb = fcnx.convnext_v2(blk, emb, compute_dtype=compute_dtype)
+                emb = jnp.where(text_mask[:, :, None], 0.0, emb).astype(compute_dtype)
+        else:
+            for blk in params["text_embed"]["blocks"]:
+                emb = fcnx.convnext_v2(blk, emb, compute_dtype=compute_dtype)
     return emb
 
 
