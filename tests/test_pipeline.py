@@ -128,6 +128,34 @@ def test_engine_infer_end_to_end(rng):
     assert mel.ndim == 2 and mel.shape[1] == 12
 
 
+def test_engine_vc_and_tts_modes(rng):
+    """synthesize_chunk runs the sample_tts and sample_vc CFG variants through
+    a PPG-conditioned engine."""
+    from f5e_tts_tpu.config import CodebookConfig, PPGConfig
+
+    mel_cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
+                        target_sample_rate=8000)
+    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,
+                     text_dim=16, conv_layers=0, dropout=0.0,
+                     ppg=PPGConfig(use_ppg=True, ppg_dim=6))
+    vocab = {c: i for i, c in enumerate(" abcdef")}
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, len(vocab))
+    engine = fpipe.TTSEngine(params=params, state=state, arch=arch, vocab=vocab,
+                             mel=mel_cfg, cfm=CFMConfig(),
+                             infer_cfg=InferConfig(nfe_steps=2, max_duration=512),
+                             tokenizer="char", vocoder_decode=None,
+                             compute_dtype=jnp.float32, buckets=(128, 256))
+    ref_mel = rng.standard_normal((1, 40, 12)).astype(np.float32)
+    ppg = rng.standard_normal((1, 100, 6)).astype(np.float32)
+    out_tts = engine.synthesize_chunk(ref_mel, "abc def", 100, mode="tts",
+                                      alpha_spk=3.5, alpha_txt=3.0, nfe_steps=2)
+    assert out_tts.shape == (60, 12)
+    out_vc = engine.synthesize_chunk(ref_mel, "", 100, mode="vc", alpha_spk=1.0,
+                                     alpha_ppg=2.0, ppg=ppg, nfe_steps=2)
+    assert out_vc.shape[1] == 12
+    assert np.isfinite(out_tts).all() and np.isfinite(out_vc).all()
+
+
 def test_engine_streaming(rng):
     mel_cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
                         target_sample_rate=8000)
