@@ -268,6 +268,21 @@ class Trainer:
         shardings = self.batch_shardings()
         rng = jax.random.PRNGKey(tc.seed)
 
+        # preemption handling (the reference has none — SURVEY §5): a SIGTERM
+        # requests a final model_last save at the next step boundary so the
+        # job resumes exactly where it stopped
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not on the main thread (tests)
+            prev_handler = None
+
         start_update = int(ts.update)
         t0 = time.time()
         done = False
@@ -298,21 +313,32 @@ class Trainer:
                         batch["ppg_lens"] = np.asarray(ppg_lens)
                     batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()
                              if k in shardings}
+                    t_step = time.time()
                     ts, metrics = step(ts, batch, rng)
                     update = int(ts.update)
                     if self.log_fn is not None:
                         self.log_fn({"loss": float(metrics.loss),
                                      "grad_norm": float(metrics.grad_norm),
-                                     "extra_loss": float(metrics.extra_loss)}, update)
+                                     "extra_loss": float(metrics.extra_loss),
+                                     "step_seconds": time.time() - t_step}, update)
                     if update % tc.last_per_updates == 0:
                         self.save_checkpoint(ts, last=True)
                     if update % tc.save_per_updates == 0:
                         self.save_checkpoint(ts)
                     if self.sample_fn is not None and update % tc.log_samples_per_updates == 0:
                         self.sample_fn(jax.device_get(ts.ema_params), update)
+                    if preempted["flag"]:
+                        print("SIGTERM received — checkpointing and exiting")
+                        done = True
+                        break
                     if max_updates and update >= max_updates:
                         done = True
                         break
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         self.save_checkpoint(ts, last=True)
         dt = time.time() - t0
-        return ts, {"updates": int(ts.update) - start_update, "seconds": dt}
+        return ts, {"updates": int(ts.update) - start_update, "seconds": dt,
+                    "preempted": preempted["flag"]}
