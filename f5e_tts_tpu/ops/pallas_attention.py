@@ -202,21 +202,52 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+_BWD_HEAD_CHUNK = 4  # bounds the (B, Hc, N, N) fp32 score tensors in the bwd
+
+
 def _reference_attn(q, k, v, kv_lens):
     mask = jnp.arange(k.shape[1])[None, :] < kv_lens[:, None]
     return jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, None, :])
 
 
 def _reference_rope_attn(q, k, v, kv_lens, cos, sin, rope_heads):
+    """Pure-XLA attention with per-head rope gating (matches the kernel)."""
     from f5e_tts_tpu.ops.rope import apply_rotary_half
 
+    h = q.shape[2]
     c = cos[None, :, None, :]
     s = sin[None, :, None, :]
-    qr = jnp.concatenate([apply_rotary_half(q[:, :, :rope_heads], c, s),
-                          q[:, :, rope_heads:]], axis=2)
-    kr = jnp.concatenate([apply_rotary_half(k[:, :, :rope_heads], c, s),
-                          k[:, :, rope_heads:]], axis=2)
+    flag = (jnp.arange(h) < rope_heads)[None, None, :, None]
+    qr = jnp.where(flag, apply_rotary_half(q, c, s), q)
+    kr = jnp.where(flag, apply_rotary_half(k, c, s), k)
     return _reference_attn(qr, kr, v, kv_lens)
+
+
+def _chunked_attn_bwd(ref_fn, q, k, v, g):
+    """Backward of ref_fn(q, k, v) chunked over the (independent) head axis,
+    bounding the fp32 score materialization to _BWD_HEAD_CHUNK heads at a time.
+    All tensors (B, N, H, dh); g is the output cotangent."""
+    h = q.shape[2]
+    chunk = max(1, min(h, _BWD_HEAD_CHUNK))
+    if h % chunk:
+        chunk = 1
+
+    def split(x):
+        b, n, _, dh = x.shape
+        return jnp.moveaxis(x.reshape(b, n, h // chunk, chunk, dh), 2, 0)
+
+    def one(args):
+        qc, kc, vc, gc = args
+        _, vjp = jax.vjp(ref_fn, qc, kc, vc)
+        return vjp(gc)
+
+    dq, dk, dv = jax.lax.map(one, (split(q), split(k), split(v), split(g)))
+
+    def merge(x):
+        b, n = x.shape[1], x.shape[2]
+        return jnp.moveaxis(x, 0, 2).reshape(b, n, h, -1)
+
+    return merge(dq), merge(dk), merge(dv)
 
 
 @jax.custom_vjp
@@ -230,8 +261,8 @@ def _fullkv_fwd(q, k, v, kv_lens):
 
 def _fullkv_bwd(res, g):
     q, k, v, kv_lens = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attn(q_, k_, v_, kv_lens), q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _chunked_attn_bwd(
+        lambda q_, k_, v_: _reference_attn(q_, k_, v_, kv_lens), q, k, v, g)
     return dq, dk, dv, None
 
 
@@ -250,11 +281,42 @@ def _rope_fwd(q, k, v, kv_lens, cos, sin, rope_heads):
 
 def _rope_bwd(rope_heads, res, g):
     q, k, v, kv_lens, cos, sin = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _reference_rope_attn(q_, k_, v_, kv_lens, cos, sin, rope_heads),
-        q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None, None
+    h = q.shape[2]
+    chunk = max(1, min(h, _BWD_HEAD_CHUNK))
+    if h % chunk:
+        chunk = 1
+    # per-chunk rope flags depend on absolute head indices — fold them into a
+    # per-head boolean array sliced alongside the tensors
+    flags = jnp.arange(h) < rope_heads
+
+    def split(x):
+        b, n, _, dh = x.shape
+        return jnp.moveaxis(x.reshape(b, n, h // chunk, chunk, dh), 2, 0)
+
+    from f5e_tts_tpu.ops.rope import apply_rotary_half
+
+    def one(args):
+        qc, kc, vc, gc, fc = args
+
+        def ref(qc, kc, vc):
+            c = cos[None, :, None, :]
+            s = sin[None, :, None, :]
+            fl = fc[None, None, :, None]
+            qr = jnp.where(fl, apply_rotary_half(qc, c, s), qc)
+            kr = jnp.where(fl, apply_rotary_half(kc, c, s), kc)
+            return _reference_attn(qr, kr, vc, kv_lens)
+
+        _, vjp = jax.vjp(ref, qc, kc, vc)
+        return vjp(gc)
+
+    dq, dk, dv = jax.lax.map(one, (split(q), split(k), split(v), split(g),
+                                   flags.reshape(h // chunk, chunk)))
+
+    def merge(x):
+        b, n = x.shape[1], x.shape[2]
+        return jnp.moveaxis(x, 0, 2).reshape(b, n, h, -1)
+
+    return merge(dq), merge(dk), merge(dv), None, None, None
 
 
 mha_fullkv_rope_ad.defvjp(_rope_fwd, _rope_bwd)
