@@ -256,6 +256,7 @@ def preset(name: str) -> ModelConfig:
             arch=DiTConfig(
                 dim=768, depth=18, heads=12, ff_mult=2, text_dim=512,
                 text_mask_padding=False, conv_layers=4, pe_attn_head=1,
+                checkpoint_activations=True,  # example.yaml arch default
             ),
         )
     if name == "E2TTS_Base":
