@@ -267,10 +267,12 @@ def _dit_block(blk, x, t_emb, mask, rope_cos, rope_sin, cfg: DiTConfig,
     if training and dropout_rng is not None and cfg.dropout > 0:
         dropout_rng, sub = jax.random.split(dropout_rng)
         attn_out = fnn.dropout(sub, attn_out, cfg.dropout, training)
-    x = x + gate_msa[:, None, :] * attn_out
 
-    norm = fnn.layernorm(None, x, eps=1e-6).astype(compute_dtype)
-    norm = norm * (1 + scale_mlp[:, None, :]) + shift_mlp[:, None, :]
+    # fused: x += gate*attn_out; LN; *(1+scale)+shift — one HBM pass (Pallas)
+    from f5e_tts_tpu.ops.pallas_norm import gated_adaln
+
+    x, norm = gated_adaln(x, attn_out, gate_msa, scale_mlp, shift_mlp)
+    norm = norm.astype(compute_dtype)
     h = fnn.linear(blk["ff1"], norm, compute_dtype)
     h = fnn.gelu(h, approximate="tanh")
     if training and dropout_rng is not None and cfg.dropout > 0:
