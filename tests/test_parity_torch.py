@@ -30,6 +30,13 @@ def _random_torch_sd(cfg: DiTConfig, vocab: int, seed=0):
     params["proj_out"] = dezero(params["proj_out"])
     params["norm_out"] = dezero(params["norm_out"])
     params["blocks"]["attn_norm"] = dezero(params["blocks"]["attn_norm"])
+    if cfg.qk_norm == "rms_norm":
+        # non-trivial per-dim weights to probe the half-split permutation of
+        # the qk-norm gains through export/ingest
+        for name in ("q_norm", "k_norm"):
+            shape = np.asarray(params["blocks"]["attn"][name]["g"]).shape
+            params["blocks"]["attn"][name]["g"] = jnp.asarray(
+                1.0 + 0.3 * r.standard_normal(shape).astype(np.float32))
     return dit_to_torch(params, state, cfg)
 
 
@@ -39,7 +46,9 @@ def _random_torch_sd(cfg: DiTConfig, vocab: int, seed=0):
     DiTConfig(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2, mel_dim=10,
               text_dim=32, text_mask_padding=False, conv_layers=1,
               pe_attn_head=1, dropout=0.0),
-], ids=["v1_style", "legacy_pe1"])
+    DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=10,
+              text_dim=32, conv_layers=1, qk_norm="rms_norm", dropout=0.0),
+], ids=["v1_style", "legacy_pe1", "qk_norm"])
 def test_dit_matches_torch_reference(cfg, rng):
     vocab = 20
     sd = _random_torch_sd(cfg, vocab)

@@ -120,6 +120,10 @@ def dit_forward_torch(sd, cfg, x, cond, text_ids, time, drop_audio=False,
         q = lin(sd, f"{k}.attn.to_q", norm).view(b, n, cfg.heads, cfg.dim_head)
         kk = lin(sd, f"{k}.attn.to_k", norm).view(b, n, cfg.heads, cfg.dim_head)
         v = lin(sd, f"{k}.attn.to_v", norm).view(b, n, cfg.heads, cfg.dim_head)
+        if cfg.qk_norm == "rms_norm":
+            # per-head RMSNorm before rope (modules.py:394-396, 464-467)
+            q = F.rms_norm(q, (cfg.dim_head,), weight=sd[f"{k}.attn.q_norm.weight"], eps=1e-6)
+            kk = F.rms_norm(kk, (cfg.dim_head,), weight=sd[f"{k}.attn.k_norm.weight"], eps=1e-6)
         if cfg.pe_attn_head is not None:
             pn = cfg.pe_attn_head
             # reference applies rope on the first pn heads in (b,h,n,d) layout
