@@ -178,6 +178,9 @@ class TrainConfig:
     epochs: int = 100
     learning_rate: float = 7.5e-5
     num_warmup_updates: int = 20_000
+    # NOTE: with accumulation > 1 (optax.MultiSteps) the trainer's `update`
+    # counter counts MICRO-steps; scale save_per_updates etc. accordingly
+    # (the reference counts optimizer updates = steps / accumulation).
     grad_accumulation_steps: int = 1
     max_grad_norm: float = 1.0
     batch_size_per_device: int = 19_200

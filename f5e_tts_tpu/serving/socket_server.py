@@ -65,13 +65,23 @@ class TTSStreamingProcessor:
         self._warm_up()
 
     def _warm_up(self):
-        """Compile the sampler before serving (socket_server.py:122-136)."""
-        stream = self.engine.infer(self.ref_audio, self.ref_sr, self.ref_text,
-                                   "warm up text for the model.",
-                                   nfe_steps=self.nfe_steps, streaming=True,
-                                   chunk_size=self.chunk_size)
-        for _ in stream:
-            pass
+        """Compile the whole duration-bucket ladder before serving
+        (socket_server.py:122-136 warms one shape; the AOT ladder means no
+        request length ever hits a cold compile)."""
+        import jax.numpy as jnp
+
+        from f5e_tts_tpu.ops.mel import mel_spectrogram
+        from f5e_tts_tpu.serving.http_server import warm_up_buckets
+
+        import numpy as np
+
+        from f5e_tts_tpu.infer.audio import resample
+
+        wav = resample(np.asarray(self.ref_audio, np.float32), self.ref_sr,
+                       self.engine.mel.target_sample_rate)
+        ref_mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), self.engine.mel))
+        warm_up_buckets(self.engine, ref_mel, self.ref_text or "warm up.",
+                        self.nfe_steps or self.engine.infer_cfg.nfe_steps)
 
     def generate_stream(self, text: str, send):
         """Synthesize `text`, calling send(bytes) per float32 chunk + END."""
