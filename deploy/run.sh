@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Serving deployment stages (reference: runtime/triton_trtllm/run.sh stages 0-8:
+# download -> convert -> build engine -> export vocoder -> serve -> bench).
+# TPU equivalents: no engine build step — stage 2 AOT-exports the jitted
+# sampler per bucket; stage 3 starts the warm server; stage 4 benchmarks.
+set -euo pipefail
+
+STAGE=${1:-all}
+CKPT=${CKPT:-ckpts/model_1250000.safetensors}
+VOCAB=${VOCAB:-data/Emilia_ZH_EN_pinyin/vocab.txt}
+VOCODER=${VOCODER:-pretrained_models/vocos-mel-24khz/pytorch_model.bin}
+REF_AUDIO=${REF_AUDIO:-examples/basic/basic_ref_en.wav}
+REF_TEXT=${REF_TEXT:-"Some call me nature, others call me mother nature."}
+PORT=${PORT:-8000}
+NFE=${NFE:-16}
+
+stage_check() {  # 0: artifacts present?
+    for f in "$CKPT" "$VOCAB" "$VOCODER" "$REF_AUDIO"; do
+        [ -e "$f" ] || { echo "missing artifact: $f"; exit 1; }
+    done
+}
+
+stage_export() {  # 2: AOT-export the sampler bucket ladder (engine files)
+    python - <<PY
+from f5e_tts_tpu.api import F5TTS
+from f5e_tts_tpu.utils.aot import export_sampler_buckets
+import numpy as np, jax.numpy as jnp
+from f5e_tts_tpu.infer.audio import read_wav
+from f5e_tts_tpu.ops.mel import mel_spectrogram
+tts = F5TTS(ckpt_file="$CKPT", vocab_file="$VOCAB", vocoder_local_path="$VOCODER")
+wav, sr = read_wav("$REF_AUDIO")
+ref_mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), tts.engine.mel))
+paths = export_sampler_buckets(tts.engine, ref_mel.shape[1], "engines/", nfe=$NFE)
+print("exported:", paths)
+PY
+}
+
+stage_serve() {  # 3: HTTP server with bucket warm-up
+    exec python -m f5e_tts_tpu.serving.http_server \
+        --ckpt_file "$CKPT" --vocab_file "$VOCAB" \
+        --vocoder_local_path "$VOCODER" \
+        --ref_audio "$REF_AUDIO" --ref_text "$REF_TEXT" \
+        --port "$PORT" --nfe "$NFE"
+}
+
+stage_bench() {  # 4: offline + client-server benchmarks
+    python -m f5e_tts_tpu.serving.benchmark offline \
+        --ckpt "$CKPT" --vocab "$VOCAB" --vocoder_local_path "$VOCODER" \
+        --ref_audio "$REF_AUDIO" --ref_text "$REF_TEXT" --nfe "$NFE"
+}
+
+case "$STAGE" in
+    check) stage_check ;;
+    export) stage_export ;;
+    serve) stage_check && stage_serve ;;
+    bench) stage_check && stage_bench ;;
+    all) stage_check && stage_export && stage_serve ;;
+    *) echo "usage: $0 {check|export|serve|bench|all}"; exit 2 ;;
+esac

@@ -71,6 +71,8 @@ def main(argv=None):
                   f"grad_norm={metrics['grad_norm']:.3f}")
         if train_cfg.logger == "tensorboard":
             _tb_log(train_cfg.save_dir, metrics, update)
+        elif train_cfg.logger == "wandb":
+            _wandb_log(metrics, update)
 
     trainer = Trainer(model_cfg, train_cfg, vocab_size=vocab_size, tokenize=tokenize,
                       log_fn=log_fn)
@@ -82,6 +84,21 @@ def main(argv=None):
     print(f"done: {info['updates']} updates in {info['seconds']:.0f}s "
           f"({info['updates'] / max(info['seconds'], 1e-9):.2f} updates/s)")
     return ts
+
+
+_wandb_started = {"init": False}
+
+
+def _wandb_log(metrics, update):
+    """wandb logging (reference trainer.py:59-99) — gated on availability."""
+    try:
+        import wandb
+    except ImportError:
+        return
+    if not _wandb_started["init"]:
+        wandb.init(project="f5e-tts-tpu", resume="allow")
+        _wandb_started["init"] = True
+    wandb.log(metrics, step=update)
 
 
 _tb_writers = {}
