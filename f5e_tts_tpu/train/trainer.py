@@ -111,10 +111,10 @@ class Trainer:
         params, model_state = fbb.init_backbone(
             jax.random.PRNGKey(rng_seed), self.arch, self.vocab_size)
         if pretrained_path:
-            from f5e_tts_tpu.utils.torch_ckpt import dit_from_torch, load_torch_state_dict
+            from f5e_tts_tpu.utils.torch_ckpt import backbone_from_torch, load_torch_state_dict
 
             sd = load_torch_state_dict(pretrained_path, use_ema=True)
-            params, model_state = dit_from_torch(sd, self.arch)
+            params, model_state = backbone_from_torch(sd, self.arch)
             params = jax.tree.map(jnp.asarray, params)
             model_state = jax.tree.map(jnp.asarray, model_state)
         if fbb.backbone_kind(self.arch) == "dit":

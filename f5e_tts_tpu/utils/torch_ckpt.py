@@ -317,15 +317,144 @@ def unett_to_torch(params, state, cfg, prefix: str = "transformer.") -> Dict[str
     return {prefix + k: np.ascontiguousarray(v) for k, v in out.items()}
 
 
+def mmdit_from_torch(sd: Dict[str, np.ndarray], cfg, prefix: str = "transformer."):
+    """Map a reference MMDiT state dict to our (params, state).
+
+    Torch tree (reference mmdit.py:84-126 + modules.py:647-685):
+    transformer_blocks.{i}.{attn_norm_x,attn_norm_c}.linear, .attn.to_*_c,
+    .ff_x/.ff_c FeedForwards; the last block is context_pre_only (2-chunk
+    attn_norm_c, no ff_c / to_out_c). q/k (both streams) permuted half-split.
+    """
+    import jax
+
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def qk_lin(key):
+        p = {"w": permute_qk_weight(sd[f"{key}.weight"].T, cfg.heads)}
+        if f"{key}.bias" in sd:
+            p["b"] = permute_qk_bias(sd[f"{key}.bias"], cfg.heads)
+        return p
+
+    params: dict = {
+        "time_embed": {"mlp1": _lin(sd, "time_embed.time_mlp.0"),
+                       "mlp2": _lin(sd, "time_embed.time_mlp.2")},
+        "text_embed": {"embed": {"w": sd["text_embed.text_embed.weight"]}},
+        "audio_embed": {
+            "proj": _lin(sd, "audio_embed.linear"),
+            "conv1": _conv(sd, "audio_embed.conv_pos_embed.conv1d.0"),
+            "conv2": _conv(sd, "audio_embed.conv_pos_embed.conv1d.2"),
+        },
+    }
+
+    def one_block(i, pre_only):
+        b = f"transformer_blocks.{i}"
+        blk = {
+            "attn_norm_x": _lin(sd, f"{b}.attn_norm_x.linear"),
+            "attn_norm_c": _lin(sd, f"{b}.attn_norm_c.linear"),
+            "attn": {
+                "to_q": qk_lin(f"{b}.attn.to_q"),
+                "to_k": qk_lin(f"{b}.attn.to_k"),
+                "to_v": _lin(sd, f"{b}.attn.to_v"),
+                "to_q_c": qk_lin(f"{b}.attn.to_q_c"),
+                "to_k_c": qk_lin(f"{b}.attn.to_k_c"),
+                "to_v_c": _lin(sd, f"{b}.attn.to_v_c"),
+                "to_out": _lin(sd, f"{b}.attn.to_out.0"),
+            },
+            "ff1_x": _lin(sd, f"{b}.ff_x.ff.0.0"),
+            "ff2_x": _lin(sd, f"{b}.ff_x.ff.2"),
+        }
+        if not pre_only:
+            blk["attn"]["to_out_c"] = _lin(sd, f"{b}.attn.to_out_c")
+            blk["ff1_c"] = _lin(sd, f"{b}.ff_c.ff.0.0")
+            blk["ff2_c"] = _lin(sd, f"{b}.ff_c.ff.2")
+        if cfg.qk_norm == "rms_norm":
+            perm = half_split_perm(cfg.dim_head)
+            for ours, theirs in (("q_norm", "q_norm"), ("k_norm", "k_norm"),
+                                 ("c_q_norm", "c_q_norm"), ("c_k_norm", "c_k_norm")):
+                blk["attn"][ours] = {
+                    "g": np.ascontiguousarray(sd[f"{b}.attn.{theirs}.weight"][perm])}
+        return blk
+
+    mids = [one_block(i, False) for i in range(cfg.depth - 1)]
+    params["blocks"] = jax.tree.map(lambda *xs: np.stack(xs), *mids)
+    params["final_block"] = one_block(cfg.depth - 1, True)
+    params["norm_out"] = _lin(sd, "norm_out.linear")
+    params["proj_out"] = _lin(sd, "proj_out")
+    return params, {}
+
+
+def mmdit_to_torch(params, state, cfg, prefix: str = "transformer.") -> Dict[str, np.ndarray]:
+    """Export MMDiT params to reference torch layout (inverse of ingest)."""
+    import jax
+
+    out: Dict[str, np.ndarray] = {}
+
+    def put_lin(key, p):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+        if "b" in p:
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(p["b"]))
+
+    def put_conv(key, p):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).transpose(2, 1, 0))
+        if "b" in p:
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(p["b"]))
+
+    def put_qk(key, p):
+        out[f"{key}.weight"] = np.ascontiguousarray(
+            unpermute_qk_weight(np.asarray(p["w"]), cfg.heads).T)
+        if "b" in p:
+            out[f"{key}.bias"] = unpermute_qk_bias(np.asarray(p["b"]), cfg.heads)
+
+    put_lin("time_embed.time_mlp.0", params["time_embed"]["mlp1"])
+    put_lin("time_embed.time_mlp.2", params["time_embed"]["mlp2"])
+    out["text_embed.text_embed.weight"] = np.ascontiguousarray(
+        np.asarray(params["text_embed"]["embed"]["w"]))
+    put_lin("audio_embed.linear", params["audio_embed"]["proj"])
+    put_conv("audio_embed.conv_pos_embed.conv1d.0", params["audio_embed"]["conv1"])
+    put_conv("audio_embed.conv_pos_embed.conv1d.2", params["audio_embed"]["conv2"])
+
+    def put_block(i, blk, pre_only):
+        b = f"transformer_blocks.{i}"
+        put_lin(f"{b}.attn_norm_x.linear", blk["attn_norm_x"])
+        put_lin(f"{b}.attn_norm_c.linear", blk["attn_norm_c"])
+        put_qk(f"{b}.attn.to_q", blk["attn"]["to_q"])
+        put_qk(f"{b}.attn.to_k", blk["attn"]["to_k"])
+        put_lin(f"{b}.attn.to_v", blk["attn"]["to_v"])
+        put_qk(f"{b}.attn.to_q_c", blk["attn"]["to_q_c"])
+        put_qk(f"{b}.attn.to_k_c", blk["attn"]["to_k_c"])
+        put_lin(f"{b}.attn.to_v_c", blk["attn"]["to_v_c"])
+        put_lin(f"{b}.attn.to_out.0", blk["attn"]["to_out"])
+        put_lin(f"{b}.ff_x.ff.0.0", blk["ff1_x"])
+        put_lin(f"{b}.ff_x.ff.2", blk["ff2_x"])
+        if not pre_only:
+            put_lin(f"{b}.attn.to_out_c", blk["attn"]["to_out_c"])
+            put_lin(f"{b}.ff_c.ff.0.0", blk["ff1_c"])
+            put_lin(f"{b}.ff_c.ff.2", blk["ff2_c"])
+        if cfg.qk_norm == "rms_norm":
+            inv_perm = np.argsort(half_split_perm(cfg.dim_head))
+            for nm in ("q_norm", "k_norm", "c_q_norm", "c_k_norm"):
+                out[f"{b}.attn.{nm}.weight"] = np.ascontiguousarray(
+                    np.asarray(blk["attn"][nm]["g"])[inv_perm])
+
+    for i in range(cfg.depth - 1):
+        put_block(i, jax.tree.map(lambda a, i=i: np.asarray(a[i]), params["blocks"]), False)
+    put_block(cfg.depth - 1, params["final_block"], True)
+    put_lin("norm_out.linear", params["norm_out"])
+    put_lin("proj_out", params["proj_out"])
+    return {prefix + k: np.ascontiguousarray(v) for k, v in out.items()}
+
+
 def backbone_from_torch(sd: Dict[str, np.ndarray], arch, prefix: str = "transformer."):
     """Dispatch checkpoint ingestion by backbone config type."""
-    from f5e_tts_tpu.config import DiTConfig as _D, UNetTConfig as _U
+    from f5e_tts_tpu.config import DiTConfig as _D, MMDiTConfig as _M, UNetTConfig as _U
 
     if isinstance(arch, _U):
         return unett_from_torch(sd, arch, prefix)
+    if isinstance(arch, _M):
+        return mmdit_from_torch(sd, arch, prefix)
     if isinstance(arch, _D):
         return dit_from_torch(sd, arch, prefix)
-    raise NotImplementedError(f"no torch ingestion for {type(arch).__name__} yet")
+    raise NotImplementedError(f"no torch ingestion for {type(arch).__name__}")
 
 
 def dit_to_torch(params, state, cfg: DiTConfig, prefix: str = "transformer.") -> Dict[str, np.ndarray]:

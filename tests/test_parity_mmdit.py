@@ -164,3 +164,44 @@ def test_mmdit_matches_torch_reference(rng):
     # and the bulk of elements agree tightly
     close = np.isclose(np.asarray(pred), ref, rtol=2e-3, atol=3e-4)
     assert close.mean() > 0.85
+
+
+def test_mmdit_torch_ckpt_roundtrip(rng):
+    """Export to the reference torch key layout and re-ingest: params and
+    forward output must survive exactly (incl. q/k half-split permutation
+    and qk_norm gain permutation)."""
+    from f5e_tts_tpu.utils.torch_ckpt import (backbone_from_torch,
+                                              mmdit_from_torch, mmdit_to_torch)
+
+    cfg = MMDiTConfig(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2,
+                      mel_dim=10, dropout=0.0, qk_norm="rms_norm")
+    params, state = fbb.init_backbone(jax.random.PRNGKey(3), cfg, VOCAB)
+    # randomize everything (zeros round-trip trivially)
+    r = np.random.default_rng(7)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(r.standard_normal(a.shape).astype(np.float32)) * 0.05, params)
+
+    sd = mmdit_to_torch(params, state, cfg)
+    assert "transformer.transformer_blocks.0.attn.to_out_c.weight" in sd
+    assert "transformer.transformer_blocks.2.attn.to_out_c.weight" not in sd  # pre_only
+    assert "transformer.transformer_blocks.1.attn.c_q_norm.weight" in sd
+    p2, _ = mmdit_from_torch(sd, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 params, p2)
+
+    # dispatch goes to the mmdit path
+    p3, _ = backbone_from_torch(sd, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 params, p3)
+
+    b, n, nt = 1, 8, 4
+    x = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    text = jnp.asarray(rng.integers(0, VOCAB, (b, nt)).astype(np.int32))
+    f = jnp.zeros((b,), bool)
+    out1 = fmmdit.mmdit_forward(params, state, cfg, x=x, cond=x, text_ids=text,
+                                time=jnp.asarray([0.5], np.float32),
+                                drop_audio_cond=f, drop_text=f, compute_dtype=jnp.float32)
+    out2 = fmmdit.mmdit_forward(p2, state, cfg, x=x, cond=x, text_ids=text,
+                                time=jnp.asarray([0.5], np.float32),
+                                drop_audio_cond=f, drop_text=f, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
