@@ -11,10 +11,12 @@ non-causal SDPA, optional qk RMSNorm per head, RoPE applied to q/k (optionally
 only the first `pe_attn_head` heads), padding mask on keys, masked fill of the
 output rows.
 
-NOTE on tensor-parallel serving: pallas_call has no GSPMD partitioning rule,
-so under a sharded 'model' axis XLA replicates the kernel (correct but
-wasteful); set F5E_PALLAS_ATTENTION=0 for TP deployments until the kernel is
-shard_mapped.
+Tensor parallelism: pallas_call has no GSPMD partitioning rule, so under a
+sharded 'model' axis XLA would replicate the kernel. Registering the mesh via
+`set_tp_context(mesh)` makes the Pallas paths run under `shard_map` with heads
+split over the TP axis — attention is embarrassingly parallel over heads, so
+each device runs the kernel on its local head slice with zero collectives
+(Megatron-style head sharding, matching parallel/mesh.py's param specs).
 """
 
 from __future__ import annotations
@@ -55,6 +57,59 @@ def _flash_ok(q, k) -> bool:
 
 _USE_PALLAS_FULLKV = os.environ.get("F5E_PALLAS_ATTENTION", "1") != "0"
 
+# Tensor-parallel context: set by the trainer / server when the mesh has a
+# model axis > 1 so Pallas attention shards over heads instead of replicating.
+_TP = {"mesh": None, "axis": "model"}
+
+
+def set_tp_context(mesh, axis: str = "model") -> None:
+    """Register the device mesh for head-sharded Pallas attention.
+
+    Call with `None` to clear. Only takes effect when `mesh.shape[axis] > 1`
+    and the head count divides evenly; otherwise the unsharded path is used.
+    """
+    _TP["mesh"] = mesh
+    _TP["axis"] = axis
+
+
+def _tp_shards() -> int:
+    mesh = _TP["mesh"]
+    if mesh is None or _TP["axis"] not in mesh.shape:
+        return 1
+    return int(mesh.shape[_TP["axis"]])
+
+
+def shard_heads_call(fn, q, k, v, kv_lens, *tables, mesh=None, axis=None):
+    """Run a (B, N, H, dh)-layout attention kernel under shard_map with heads
+    split over the TP mesh axis.
+
+    `fn(q, k, v, kv_lens, *tables)` sees per-device arrays with H/tp heads;
+    kv_lens and rope tables are replicated. No collectives are needed —
+    softmax(qK^T)V is independent per head. Differentiable (shard_map
+    composes with the kernels' custom VJPs).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:  # moved out of experimental in newer jax
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
+
+    mesh = mesh if mesh is not None else _TP["mesh"]
+    axis = axis if axis is not None else _TP["axis"]
+    hspec = P(None, None, axis, None)
+    in_specs = (hspec, hspec, hspec, P(None)) + tuple(P(None, None) for _ in tables)
+    f = shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=hspec)
+    return f(q, k, v, kv_lens, *tables)
+
 
 def sdpa(
     q: jnp.ndarray,  # (B, N, H, Dh)
@@ -81,6 +136,9 @@ def sdpa(
                 kv_lens = jnp.sum(mask.astype(jnp.int32), axis=-1)
             else:
                 kv_lens = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
+            tp = _tp_shards()
+            if tp > 1 and q.shape[2] % tp == 0:
+                return shard_heads_call(mha_fullkv_ad, q, k, v, kv_lens)
             return mha_fullkv_ad(q, k, v, kv_lens)
     if _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -142,8 +200,18 @@ def attention(
             else:
                 kv_lens = jnp.full((b,), n, jnp.int32)
             rope_heads = pe_attn_head if pe_attn_head is not None else heads
-            o = mha_fullkv_rope_ad(q, k, v, kv_lens, rope_cos[:n], rope_sin[:n],
-                                   rope_heads)
+            tp = _tp_shards()
+            if tp > 1 and heads % tp == 0 and rope_heads == heads:
+                # per-shard head ids restart at 0, so partial-rope
+                # (pe_attn_head < heads) can't shard; all-heads rope can.
+                local = heads // tp
+                o = shard_heads_call(
+                    lambda qq, kk, vv, ll, cc, ss: mha_fullkv_rope_ad(
+                        qq, kk, vv, ll, cc, ss, local),
+                    q, k, v, kv_lens, rope_cos[:n], rope_sin[:n])
+            else:
+                o = mha_fullkv_rope_ad(q, k, v, kv_lens, rope_cos[:n], rope_sin[:n],
+                                       rope_heads)
             o = o.reshape(b, n, heads * dh)
             o = fnn.linear(p["to_out"], o, compute_dtype)
             if mask is not None:

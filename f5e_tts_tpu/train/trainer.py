@@ -97,6 +97,11 @@ class Trainer:
 
     def __post_init__(self):
         self.mesh = make_mesh(self.train_cfg.mesh)
+        if self.mesh.shape.get("model", 1) > 1:
+            # head-shard Pallas attention over the TP axis (ops/attention.py)
+            from f5e_tts_tpu.ops.attention import set_tp_context
+
+            set_tp_context(self.mesh)
         self.arch = self.model_cfg.arch
         self.cfm = self.model_cfg.cfm
         self.compute_dtype = jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16" else jnp.float32
