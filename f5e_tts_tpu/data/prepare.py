@@ -100,6 +100,50 @@ def rows_from_emilia(input_dir: str, languages=("ZH", "EN")) -> Iterable[Tuple[s
                     yield wav, text
 
 
+# Emilia-YODAS junk-charset filters + zh punctuation normalization
+# (reference: train/datasets/prepare_emilia_v2.py:18-43)
+_ZH_BAD = ("い", "て")
+_EN_BAD = ("ا", "い", "て")
+_ZH_PUNCT = str.maketrans({",": "，", "!": "！", "?": "？"})
+
+
+def rows_from_emilia_v2(input_dir: str, languages=("EN", "ZH")) -> Iterable[tuple]:
+    """Emilia-YODAS layout (prepare_emilia_v2.py:23-118): <split>/<LANG>/<dir>/
+    with one .json per utterance {text, language, duration} and a sibling
+    .mp3/.wav. Applies the reference's per-language junk filters, repetition
+    filter (en: length 4, zh: length 2), and zh halfwidth->fullwidth
+    punctuation. Duration comes from the manifest (no audio decode)."""
+    langs = {l.lower() for l in languages}
+    for root, _dirs, files in os.walk(input_dir):
+        for name in files:
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(root, name), "r", encoding="utf-8") as f:
+                    obj = json.load(f)
+            except (json.JSONDecodeError, OSError, UnicodeDecodeError):
+                continue
+            if not isinstance(obj, dict):
+                continue
+            text = obj.get("text", "")
+            lang = str(obj.get("language", "")).lower()
+            if not text or (langs and lang not in langs):
+                continue
+            if lang == "en" and (any(c in text for c in _EN_BAD)
+                                 or repetition_found(text, length=4)):
+                continue
+            if lang == "zh":
+                if any(c in text for c in _ZH_BAD) or repetition_found(text):
+                    continue
+                text = text.translate(_ZH_PUNCT)
+            stem = os.path.join(root, name[:-5])
+            audio = next((stem + ext for ext in (".mp3", ".wav", ".flac")
+                          if os.path.exists(stem + ext)), None)
+            if audio is None:
+                continue
+            yield audio, text, float(obj.get("duration", 0.0))
+
+
 def rows_from_wenetspeech4tts(input_dir: str) -> Iterable[Tuple[str, str]]:
     """WenetSpeech4TTS: wavs + paired .txt transcripts
     (reference: train/datasets/prepare_wenetspeech4tts.py)."""
@@ -113,11 +157,14 @@ def rows_from_wenetspeech4tts(input_dir: str) -> Iterable[Tuple[str, str]]:
 
 
 def _process_row(row, min_dur=0.3, max_dur=30.0, filter_repetition=False):
-    wav, text = row
-    try:
-        dur = _duration_of(wav)
-    except Exception:
-        return None
+    if len(row) == 3:  # manifest-supplied duration (e.g. emilia_v2)
+        wav, text, dur = row
+    else:
+        wav, text = row
+        try:
+            dur = _duration_of(wav)
+        except Exception:
+            return None
     if not (min_dur <= dur <= max_dur):
         return None
     if filter_repetition and repetition_found(text):
@@ -135,12 +182,15 @@ def prepare(
     """Write raw.arrow + duration.json + vocab.txt (the load_dataset contract,
     reference dataset.py:309-373)."""
     os.makedirs(output_dir, exist_ok=True)
+    import functools
+
+    proc = functools.partial(_process_row, filter_repetition=filter_repetition)
     rows = list(rows)
     if workers > 1:
         with ProcessPoolExecutor(max_workers=workers) as ex:
-            processed = list(ex.map(_process_row, rows, chunksize=64))
+            processed = list(ex.map(proc, rows, chunksize=64))
     else:
-        processed = [_process_row(r) for r in rows]
+        processed = [proc(r) for r in rows]
     processed = [r for r in processed if r is not None]
 
     from datasets import Dataset as ArrowDataset
@@ -182,7 +232,7 @@ def prepare(
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("corpus", choices=["csv", "ljspeech", "libritts", "emilia",
-                                      "wenetspeech4tts"])
+                                      "emilia_v2", "wenetspeech4tts"])
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--tokenizer", default="pinyin")
@@ -191,6 +241,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     rows = {"csv": rows_from_csv, "ljspeech": rows_from_ljspeech,
             "libritts": rows_from_libritts, "emilia": rows_from_emilia,
+            "emilia_v2": rows_from_emilia_v2,
             "wenetspeech4tts": rows_from_wenetspeech4tts}[args.corpus](args.input)
     stats = prepare(rows, args.output, args.tokenizer, args.workers,
                     args.filter_repetition)

@@ -69,6 +69,62 @@ def test_rows_from_emilia(tmp_path):
     assert rows[0][1] == "hello"
 
 
+def test_rows_from_emilia_v2(tmp_path):
+    d = tmp_path / "Emilia-YODAS" / "EN" / "dir0"
+    d.mkdir(parents=True)
+    cases = [
+        ("u0", {"text": "hello world", "language": "en", "duration": 2.5}, True),
+        # junk charset -> dropped
+        ("u1", {"text": "bad ا text", "language": "en", "duration": 1.0}, True),
+        # zh halfwidth punctuation normalized
+        ("u2", {"text": "你好,世界!", "language": "zh", "duration": 3.0}, True),
+        # no audio file next to the json -> dropped
+        ("u3", {"text": "orphan", "language": "en", "duration": 1.0}, False),
+        # repetition (en length-4 filter) -> dropped
+        ("u4", {"text": "abcd" * 20, "language": "en", "duration": 1.0}, True),
+    ]
+    for stem, obj, with_audio in cases:
+        (d / f"{stem}.json").write_text(json.dumps(obj))
+        if with_audio:
+            (d / f"{stem}.mp3").write_bytes(b"\x00")
+
+    rows = sorted(fprep.rows_from_emilia_v2(str(tmp_path)))
+    texts = [t for _, t, _ in rows]
+    assert texts == ["hello world", "你好，世界！"]
+    assert all(len(r) == 3 for r in rows)  # duration from manifest
+    assert {d for _, _, d in rows} == {2.5, 3.0}
+
+    # manifest-duration rows skip audio decoding entirely in prepare()
+    out = str(tmp_path / "out")
+    stats = fprep.prepare(rows, out, tokenizer="char", workers=1)
+    assert stats["rows"] == 2
+    assert abs(stats["total_hours"] - 5.5 / 3600) < 1e-9
+
+
+def test_filter_repetition_flag_reaches_workers(tmp_path):
+    wavs = _mk_wavs(tmp_path, 1)
+    rows = [(wavs[0], "ab" * 50)]  # length-2 repetition
+    out1 = str(tmp_path / "keep")
+    out2 = str(tmp_path / "drop")
+    assert fprep.prepare(rows, out1, tokenizer="char", workers=1)["rows"] == 1
+    assert fprep.prepare(rows, out2, tokenizer="char", workers=2,
+                         filter_repetition=True)["rows"] == 0
+
+
+def test_count_max_epoch_cli(capsys):
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        from count_max_epoch import count_max_epoch
+    finally:
+        sys.path.pop(0)
+    # reference constants (count_max_epoch.py): 95282h, 8 gpus, 38400 frames
+    out = count_max_epoch(95282, 8, 38400, 1_200_000)
+    assert out["mini_batch_frames"] == 307200
+    assert out["updates_per_epoch"] == round(95282 / (307200 * 256 / 24000 / 3600))
+    assert out["epochs"] == round(1_200_000 / (95282 / (307200 * 256 / 24000 / 3600)))
+
+
 def test_rows_from_wenetspeech(tmp_path):
     wavs = _mk_wavs(tmp_path, 2)
     for i, w in enumerate(wavs):
