@@ -1,0 +1,132 @@
+"""gRPC streaming TTS server.
+
+reference: src/f5_tts/runtime/triton_trtllm (Triton gRPC endpoint +
+client_grpc.py). Here a native grpc service over the same TTSEngine the
+socket/http servers use; messages in serving/tts.proto (generated tts_pb2.py —
+service handlers are registered by hand since only protoc's message generator
+is available, not the grpc python plugin).
+
+Usage:
+  python -m f5e_tts_tpu.serving.grpc_server --ref_audio ref.wav \
+      [--ref_text "..."] [--port 50051] [--model F5TTS_v1_Base]
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+from concurrent import futures
+
+import numpy as np
+
+SERVICE = "f5e_tts.TTS"
+
+
+class GrpcTTS:
+    """Request handling around a warm TTSStreamingProcessor."""
+
+    def __init__(self, processor):
+        self.processor = processor  # serving.socket_server.TTSStreamingProcessor
+        self.lock = threading.Lock()
+
+    def _ref(self, request):
+        if len(request.ref_pcm_f32):
+            ref = np.frombuffer(request.ref_pcm_f32, np.float32)
+            sr = request.ref_sample_rate or self.processor.engine.mel.target_sample_rate
+            text = request.ref_text
+        else:
+            ref, sr, text = (self.processor.ref_audio, self.processor.ref_sr,
+                             request.ref_text or self.processor.ref_text)
+        return ref, sr, text
+
+    def synthesize(self, request, context):
+        from f5e_tts_tpu.serving import tts_pb2
+
+        ref, sr, ref_text = self._ref(request)
+        nfe = request.nfe_steps or self.processor.nfe_steps
+        speed = request.speed or 1.0
+        out_sr = self.processor.engine.mel.target_sample_rate
+        with self.lock:  # one synthesis on the chip at a time
+            stream = self.processor.engine.infer(
+                ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed,
+                streaming=True, chunk_size=self.processor.chunk_size)
+            for chunk, _sr in stream:
+                if len(chunk):
+                    yield tts_pb2.AudioChunk(
+                        pcm_f32=np.asarray(chunk, np.float32).tobytes(),
+                        sample_rate=out_sr, is_final=False)
+        yield tts_pb2.AudioChunk(pcm_f32=b"", sample_rate=out_sr, is_final=True)
+
+    def synthesize_offline(self, request, context):
+        from f5e_tts_tpu.serving import tts_pb2
+
+        ref, sr, ref_text = self._ref(request)
+        nfe = request.nfe_steps or self.processor.nfe_steps
+        speed = request.speed or 1.0
+        with self.lock:
+            wav, out_sr, _mel = self.processor.engine.infer(
+                ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed)
+        return tts_pb2.AudioChunk(pcm_f32=np.asarray(wav, np.float32).tobytes(),
+                                  sample_rate=out_sr, is_final=True)
+
+
+def make_server(processor, host: str = "0.0.0.0", port: int = 50051,
+                max_workers: int = 4):
+    """Build (not start) the grpc server; returns (server, bound_port)."""
+    import grpc
+
+    from f5e_tts_tpu.serving import tts_pb2
+
+    svc = GrpcTTS(processor)
+    handlers = {
+        "Synthesize": grpc.unary_stream_rpc_method_handler(
+            svc.synthesize,
+            request_deserializer=tts_pb2.TTSRequest.FromString,
+            response_serializer=tts_pb2.AudioChunk.SerializeToString),
+        "SynthesizeOffline": grpc.unary_unary_rpc_method_handler(
+            svc.synthesize_offline,
+            request_deserializer=tts_pb2.TTSRequest.FromString,
+            response_serializer=tts_pb2.AudioChunk.SerializeToString),
+    }
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler(SERVICE, handlers),))
+    bound = server.add_insecure_port(f"{host}:{port}")
+    return server, bound
+
+
+def main(argv=None):
+    from f5e_tts_tpu.api import F5TTS
+    from f5e_tts_tpu.infer.audio import read_wav
+    from f5e_tts_tpu.serving.socket_server import TTSStreamingProcessor
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=50051)
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--ckpt_file", default="")
+    p.add_argument("--vocab_file", default="")
+    p.add_argument("--vocoder_local_path", default=None)
+    p.add_argument("--ref_audio", required=True)
+    p.add_argument("--ref_text", default="")
+    p.add_argument("--nfe_step", type=int, default=32)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the bucket-ladder warm-up (debug only)")
+    args = p.parse_args(argv)
+
+    tts = F5TTS(model=args.model, config_file=args.config_file,
+                ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
+                vocoder_local_path=args.vocoder_local_path)
+    wav, sr = read_wav(args.ref_audio)
+    processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
+                                      nfe_steps=args.nfe_step,
+                                      warm_up=not args.no_warmup)
+    server, bound = make_server(processor, args.host, args.port)
+    server.start()
+    print(f"grpc listening on {args.host}:{bound}", flush=True)
+    server.wait_for_termination()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,8 @@ class TTSStreamingProcessor:
     """
 
     def __init__(self, engine, ref_audio: np.ndarray, ref_sr: int, ref_text: str,
-                 chunk_size: int = 2048, nfe_steps: Optional[int] = None):
+                 chunk_size: int = 2048, nfe_steps: Optional[int] = None,
+                 warm_up: bool = True):
         self.engine = engine
         self.ref_audio = ref_audio
         self.ref_sr = ref_sr
@@ -62,7 +63,8 @@ class TTSStreamingProcessor:
         self.chunk_size = chunk_size
         self.nfe_steps = nfe_steps
         self.lock = threading.Lock()
-        self._warm_up()
+        if warm_up:
+            self._warm_up()
 
     def _warm_up(self):
         """Compile the whole duration-bucket ladder before serving
