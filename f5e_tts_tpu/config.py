@@ -183,6 +183,9 @@ class TrainConfig:
     # (the reference counts optimizer updates = steps / accumulation).
     grad_accumulation_steps: int = 1
     max_grad_norm: float = 1.0
+    # 8-bit Adam moments (reference: trainer.py:134-137 bnb.optim.AdamW8bit
+    # behind `bnb_optimizer`; here train/adamw8bit.py, int8 block quantization)
+    bnb_optimizer: bool = False
     batch_size_per_device: int = 19_200
     batch_size_type: str = "frame"  # "frame" | "sample"
     max_samples: int = 64
@@ -323,6 +326,7 @@ def load_train_yaml(path: str):
         num_warmup_updates=optim.get("num_warmup_updates", 20_000),
         grad_accumulation_steps=optim.get("grad_accumulation_steps", 1),
         max_grad_norm=optim.get("max_grad_norm", 1.0),
+        bnb_optimizer=optim.get("bnb_optimizer", False),
         batch_size_per_device=ds.get("batch_size_per_gpu", 19_200),
         batch_size_type=ds.get("batch_size_type", "frame"),
         max_samples=ds.get("max_samples", 64),

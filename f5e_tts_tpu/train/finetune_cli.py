@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--keep_last_n_checkpoints", type=int, default=-1)
     p.add_argument("--last_per_updates", type=int, default=5000)
     p.add_argument("--max_updates", type=int, default=None)
+    p.add_argument("--bnb_optimizer", action="store_true",
+                   help="8-bit Adam moments (reference finetune_cli.py:70; "
+                        "here train/adamw8bit.py)")
     return p.parse_args(argv)
 
 
@@ -73,7 +76,8 @@ def main(argv=None):
         batch_size_type=args.batch_size_type, max_samples=args.max_samples,
         save_per_updates=args.save_per_updates,
         keep_last_n_checkpoints=args.keep_last_n_checkpoints,
-        last_per_updates=args.last_per_updates, save_dir=ckpt_dir)
+        last_per_updates=args.last_per_updates, save_dir=ckpt_dir,
+        bnb_optimizer=args.bnb_optimizer)
 
     vocab, vocab_size = ftext.get_tokenizer(
         args.tokenizer_path or args.dataset_name, args.tokenizer, data_dir=args.data_dir)

@@ -46,9 +46,16 @@ def make_schedule(train: TrainConfig, total_updates: int, num_replicas: int = 1)
 
 def make_optimizer(train: TrainConfig, total_updates: int, num_replicas: int = 1):
     sched = make_schedule(train, total_updates, num_replicas)
+    if train.bnb_optimizer:
+        # reference: bnb.optim.AdamW8bit (trainer.py:134-137); int8 moments
+        from f5e_tts_tpu.train.adamw8bit import adamw8bit
+
+        inner = adamw8bit(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+    else:
+        inner = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
     opt = optax.chain(
         optax.clip_by_global_norm(train.max_grad_norm),
-        optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0),
+        inner,
     )
     if train.grad_accumulation_steps > 1:
         # reference: accelerator.accumulate(model) (trainer.py:378)
