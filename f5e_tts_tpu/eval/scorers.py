@@ -180,8 +180,10 @@ def load_wavlm_xvector(model_path: str) -> Callable[[str], np.ndarray]:
     """Speaker embedder via transformers WavLMForXVector (local weights).
 
     The reference uses WavLM-large + a custom ECAPA-TDNN head
-    (eval/ecapa_tdnn.py + utils_eval.py:714-719); WavLMForXVector is the
-    equivalent packaged head — plug either into score_sim's embed_fn.
+    (eval/ecapa_tdnn.py + utils_eval.py:714-719); for the exact reference head
+    use eval/ecapa.py:load_wavlm_ecapa (native JAX ECAPA over the ingested
+    wavlm_large_finetune.pth, parity-tested) — plug either into score_sim's
+    embed_fn. This loader is the packaged-head alternative.
     """
     if not os.path.exists(model_path):
         raise FileNotFoundError(
