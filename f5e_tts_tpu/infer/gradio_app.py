@@ -1,9 +1,9 @@
 """Gradio web UI for inference.
 
 reference: src/f5_tts/infer/infer_gradio.py:131-1090 — basic TTS tab,
-multi-speech-type generation, custom model loading. The voice-chat tab
-(Qwen LLM, reference :742-885) is omitted offline; the app degrades to the
-tabs whose dependencies are present.
+multi-speech-type generation, custom model loading, voice-chat tab
+(reference :742-885; orchestration in infer/voice_chat.py, LLM weights gated
+on a local HF directory).
 
 gradio is not bundled in this environment: the module gates at import with a
 clear error, and `build_app()` is importable for environments that have it.
@@ -12,6 +12,9 @@ clear error, and `build_app()` is importable for environments that have it.
 from __future__ import annotations
 
 import re
+
+from f5e_tts_tpu.infer.voice_chat import DEFAULT_SYSTEM_PROMPT as _DEFAULT_SYSTEM_PROMPT
+
 
 def _require_gradio():
     try:
@@ -129,6 +132,47 @@ def build_app(tts=None, default_model: str = "F5TTS_v1_Base"):
                              gr.Textbox(label="Ref text")]
             ms_out = gr.Audio(label="Output")
             gr.Button("Generate Multi-Style").click(multistyle_tts, [ms_text] + rows, ms_out)
+        with gr.Tab("Voice Chat"):
+            # reference: infer_gradio.py:742-885 (Qwen voice-chat tab)
+            gr.Markdown("Chat with an LLM that replies in the reference voice. "
+                        "Load a local HF causal-LM directory first.")
+            chat_state = {"vc": None}
+            llm_path = gr.Textbox(label="Chat model path (local HF dir)")
+            vc_ref_audio = gr.Audio(label="Reference voice", type="numpy")
+            vc_ref_text = gr.Textbox(label="Reference text (blank = unknown)")
+            system_prompt = gr.Textbox(label="System prompt",
+                                       value=_DEFAULT_SYSTEM_PROMPT, lines=2)
+            chatbox = gr.Chatbot(label="Conversation", type="messages")
+            user_text = gr.Textbox(label="Your message", lines=1)
+            vc_out = gr.Audio(label="Spoken reply", autoplay=True)
+
+            def chat_round(path, ref, rtext, sys_p, text):
+                from f5e_tts_tpu.infer.voice_chat import VoiceChat, load_chat_model
+
+                t = ensure_model()
+                if chat_state["vc"] is None or chat_state["vc"].system_prompt != sys_p:
+                    sr_in, wav_in = ref
+                    wav_in = np.asarray(wav_in, np.float32)
+                    if wav_in.ndim == 2:
+                        wav_in = wav_in.mean(axis=1)
+                    if wav_in.max() > 2:
+                        wav_in = wav_in / 32768.0
+                    chat_state["vc"] = VoiceChat(
+                        t.engine, wav_in, sr_in, rtext or "",
+                        respond_fn=load_chat_model(path), system_prompt=sys_p)
+                reply, wav, sr = chat_state["vc"].chat(text=text)
+                return chat_state["vc"].messages, (sr, wav) if wav is not None else None
+
+            gr.Button("Send").click(
+                chat_round, [llm_path, vc_ref_audio, vc_ref_text, system_prompt,
+                             user_text], [chatbox, vc_out])
+
+            def clear_chat():
+                if chat_state["vc"] is not None:
+                    chat_state["vc"].clear()
+                return [], None
+
+            gr.Button("Clear Conversation").click(clear_chat, None, [chatbox, vc_out])
     return app
 
 
