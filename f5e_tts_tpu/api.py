@@ -57,6 +57,7 @@ class F5TTS:
         vocoder_local_path: Optional[str] = None,
         config_file: Optional[str] = None,
         compute_dtype=jnp.bfloat16,
+        engine_dir: Optional[str] = None,
     ):
         self.model_cfg: ModelConfig = load_yaml(config_file) if config_file else preset(model)
         arch = self.model_cfg.arch
@@ -93,6 +94,7 @@ class F5TTS:
             tokenizer=tokenizer,
             vocoder_decode=load_vocoder(vocoder_local_path, compute_dtype),
             compute_dtype=compute_dtype,
+            engine_dir=engine_dir,
             use_intersperse=(arch.codebook.use_align_loss or arch.ppg.use_cross_mask)
             if hasattr(arch, "codebook") else False,
         )

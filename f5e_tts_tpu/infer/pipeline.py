@@ -193,6 +193,27 @@ class TTSEngine:
     buckets: Sequence[int] = DEFAULT_BUCKETS
     text_pad_to: int = 32  # text length bucket granularity (compile stability)
     use_intersperse: bool = False  # align-loss/cross-mask models intersperse text
+    # directory of jax.export engine files (utils/aot.py export_sampler_buckets);
+    # matching buckets skip JIT entirely at serving start (TRT engine-file moral
+    # equivalent, reference run.sh stage "build engine")
+    engine_dir: Optional[str] = None
+    _aot_cache: dict = field(default_factory=dict, repr=False)
+
+    def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int):
+        """Exported-sampler lookup; None when absent or text doesn't fit."""
+        if not self.engine_dir:
+            return None
+        key = (nfe, ref_frames, bucket)
+        if key not in self._aot_cache:
+            from f5e_tts_tpu.utils.aot import find_sampler_engine, load_fn
+
+            found = find_sampler_engine(self.engine_dir, nfe, ref_frames, bucket,
+                                        min_text)
+            self._aot_cache[key] = (load_fn(found[0]), found[1]) if found else None
+        entry = self._aot_cache[key]
+        if entry is None or entry[1] < min_text:
+            return None
+        return entry
 
     def tokenize(self, texts: Sequence[str]) -> np.ndarray:
         if self.vocab is None:
@@ -255,6 +276,22 @@ class TTSEngine:
         nt = min(-(-text_ids.shape[1] // self.text_pad_to) * self.text_pad_to, bucket)
         padded = np.full((1, nt), -1, np.int32)
         padded[0, : min(text_ids.shape[1], nt)] = text_ids[0, :nt]
+
+        # AOT engine fast path (plain-CFG only; exported engines bake the
+        # default cfg/sway — overridden values fall back to the jit path)
+        if (mode not in ("tts", "vc") and ppg is None
+                and cfg == icfg.cfg_strength and sway == icfg.sway_sampling_coef):
+            aot = self._aot_sampler(nfe, ref_frames, bucket, nt)
+            if aot is not None:
+                fn, tl = aot
+                wide = np.full((1, tl), -1, np.int32)
+                wide[0, :nt] = padded[0]
+                out = fn(self.params, jnp.asarray(ref_mel),
+                         jnp.asarray([ref_frames], jnp.int32),
+                         jnp.asarray([duration], jnp.int32), jnp.asarray(wide),
+                         jnp.asarray([seed], jnp.int32))
+                out = np.asarray(out[0], np.float32)
+                return out[ref_frames:duration]
 
         inputs = fcfm.prepare_inputs(
             jnp.asarray(ref_mel), jnp.asarray([ref_frames]), jnp.asarray([duration]),

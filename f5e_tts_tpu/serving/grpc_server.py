@@ -113,11 +113,15 @@ def main(argv=None):
     p.add_argument("--nfe_step", type=int, default=32)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the bucket-ladder warm-up (debug only)")
+    p.add_argument("--engine_dir", default=None,
+                   help="jax.export engine files (utils/aot.py) — buckets found "
+                        "here load instead of JIT-compiling at startup")
     args = p.parse_args(argv)
 
     tts = F5TTS(model=args.model, config_file=args.config_file,
                 ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
-                vocoder_local_path=args.vocoder_local_path)
+                vocoder_local_path=args.vocoder_local_path,
+                engine_dir=args.engine_dir)
     wav, sr = read_wav(args.ref_audio)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step,

@@ -138,10 +138,14 @@ def main(argv=None):
     p.add_argument("--ref_audio", required=True)
     p.add_argument("--ref_text", default="")
     p.add_argument("--nfe_step", type=int, default=32)
+    p.add_argument("--engine_dir", default=None,
+                   help="jax.export engine files (utils/aot.py) — buckets found "
+                        "here load instead of JIT-compiling at startup")
     args = p.parse_args(argv)
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
-                vocoder_local_path=args.vocoder_local_path)
+                vocoder_local_path=args.vocoder_local_path,
+                engine_dir=args.engine_dir)
     wav, sr = read_wav(args.ref_audio)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step)

@@ -68,7 +68,29 @@ def export_sampler_buckets(engine, ref_frames: int, out_dir: str,
             jnp.zeros((1, text_len), jnp.int32),
             jnp.zeros((1,), jnp.int32),
         )
-        path = os.path.join(out_dir, f"sampler_nfe{nfe}_ref{ref_frames}_b{bucket}.jaxexport")
+        path = os.path.join(
+            out_dir, f"sampler_nfe{nfe}_ref{ref_frames}_b{bucket}_t{text_len}.jaxexport")
         export_fn(synth, args, path)
         paths.append(path)
     return paths
+
+
+def find_sampler_engine(engine_dir: str, nfe: int, ref_frames: int,
+                        bucket: int, min_text_len: int):
+    """Locate an exported sampler matching (nfe, ref_frames, bucket) whose
+    baked text length covers `min_text_len` (extra -1 text padding is filler
+    and does not change the output). Returns (path, text_len) or None."""
+    import re
+
+    best = None
+    if not os.path.isdir(engine_dir):
+        return None
+    pat = re.compile(rf"^sampler_nfe{nfe}_ref{ref_frames}_b{bucket}_t(\d+)\.jaxexport$")
+    for name in os.listdir(engine_dir):
+        m = pat.match(name)
+        if not m:
+            continue
+        tl = int(m.group(1))
+        if tl >= min_text_len and (best is None or tl < best[1]):
+            best = (os.path.join(engine_dir, name), tl)
+    return best

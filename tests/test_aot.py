@@ -46,3 +46,48 @@ def test_export_sampler_bucket(tmp_path, rng):
             jnp.asarray([0], jnp.int32))
     assert out.shape == (1, 64, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_engine_dir_fast_path_matches_jit(tmp_path, rng):
+    """TTSEngine with engine_dir uses the exported sampler; output must equal
+    the jit path exactly. Non-matching shapes/NFE fall back to jit."""
+    import dataclasses
+
+    from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
+    from f5e_tts_tpu.infer.pipeline import TTSEngine
+    from f5e_tts_tpu.models import dit as fdit
+    from f5e_tts_tpu.utils.aot import export_sampler_buckets, find_sampler_engine
+
+    mel = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=8,
+                    target_sample_rate=8000)
+    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=8,
+                     text_dim=16, conv_layers=0, dropout=0.0)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, 30)
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.")}
+    base = dict(params=params, state=state, arch=arch, vocab=vocab, mel=mel,
+                cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=2),
+                tokenizer="char", vocoder_decode=None,
+                compute_dtype=jnp.float32, buckets=(64,), text_pad_to=8)
+
+    jit_engine = TTSEngine(**base)
+    ref_mel = rng.standard_normal((1, 16, 8)).astype(np.float32)
+
+    export_sampler_buckets(jit_engine, ref_frames=16, out_dir=str(tmp_path),
+                           nfe=2, text_len=16)
+    aot_engine = TTSEngine(**base, engine_dir=str(tmp_path))
+
+    kw = dict(duration=48, seed=5, nfe_steps=2)
+    out_jit = jit_engine.synthesize_chunk(ref_mel, "a ref. hello.", **kw)
+    out_aot = aot_engine.synthesize_chunk(ref_mel, "a ref. hello.", **kw)
+    assert aot_engine._aot_cache  # fast path actually engaged
+    assert any(v is not None for v in aot_engine._aot_cache.values())
+    np.testing.assert_array_equal(out_aot, out_jit)
+
+    # fallback: different NFE has no engine file -> jit path, still works
+    out_fb = aot_engine.synthesize_chunk(ref_mel, "a ref. hello.", duration=48,
+                                         seed=5, nfe_steps=4)
+    assert np.isfinite(out_fb).all()
+    assert aot_engine._aot_cache[(4, 16, 64)] is None
+
+    # finder: text too long for any exported engine -> None
+    assert find_sampler_engine(str(tmp_path), 2, 16, 64, min_text_len=99) is None
