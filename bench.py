@@ -52,9 +52,11 @@ def main():
     inputs = fcfm.prepare_inputs(cond, lens, duration, n, text_ids=text_ids)
 
     def synthesize(params, voc_params, inputs, key):
+        # use_mask=True: the exact serving configuration (pipeline.py always
+        # samples with the attention mask on)
         out, _ = fcfm.sample(params, state, arch, cfm, inputs, key,
                              steps=nfe, cfg_strength=2.0, sway_coef=-1.0,
-                             use_mask=False, compute_dtype=jnp.bfloat16)
+                             use_mask=True, compute_dtype=jnp.bfloat16)
         return vocos_decode(voc_params, voc_cfg, out.astype(jnp.bfloat16),
                             compute_dtype=jnp.bfloat16)
 

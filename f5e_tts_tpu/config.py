@@ -178,9 +178,9 @@ class TrainConfig:
     epochs: int = 100
     learning_rate: float = 7.5e-5
     num_warmup_updates: int = 20_000
-    # NOTE: with accumulation > 1 (optax.MultiSteps) the trainer's `update`
-    # counter counts MICRO-steps; scale save_per_updates etc. accordingly
-    # (the reference counts optimizer updates = steps / accumulation).
+    # `update` counts OPTIMIZER updates (micro-steps / accumulation), exactly
+    # like the reference's global_update (trainer.py:416); save/log cadence,
+    # EMA gating and the LR schedule all run in update units.
     grad_accumulation_steps: int = 1
     max_grad_norm: float = 1.0
     # 8-bit Adam moments (reference: trainer.py:134-137 bnb.optim.AdamW8bit
@@ -189,7 +189,18 @@ class TrainConfig:
     batch_size_per_device: int = 19_200
     batch_size_type: str = "frame"  # "frame" | "sample"
     max_samples: int = 64
-    ema_decay: float = 0.999  # ema_pytorch default used by the reference trainer
+    # EMA — ema_pytorch defaults, which the reference trainer uses unmodified
+    # (trainer.py:104 EMA(model, include_online_model=False)): the decay RAMPS
+    # as 1 - (1 + step/inv_gamma)^(-power) clamped to [min_value, beta]; the
+    # first update_after_step updates hard-copy online -> ema; gated to every
+    # `update_every` updates. Checkpoints ship EMA-only weights, so this
+    # schedule is training-parity-critical.
+    ema_beta: float = 0.9999
+    ema_update_after_step: int = 100
+    ema_update_every: int = 10
+    ema_inv_gamma: float = 1.0
+    ema_power: float = 2.0 / 3.0
+    ema_min_value: float = 0.0
     save_per_updates: int = 50_000
     last_per_updates: int = 5_000
     keep_last_n_checkpoints: int = -1

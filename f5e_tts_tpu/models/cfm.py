@@ -44,16 +44,31 @@ def sway_timesteps(steps: int, sway_coef: Optional[float], t_start: float = 0.0)
 
 
 def noise_like(key: jax.Array, batch: int, length: int, channels: int,
-               durations: jnp.ndarray) -> jnp.ndarray:
+               durations: jnp.ndarray,
+               seeds: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Per-sample noise, zero beyond each sample's duration.
 
     Batch-size invariance via fold_in per item (reference: cfm.py:450-457 uses
     per-item reseeding; identical intent, different RNG).
-    """
-    def one(i):
-        return jax.random.normal(jax.random.fold_in(key, i), (length, channels), jnp.float32)
 
-    y0 = jax.vmap(one)(jnp.arange(batch))
+    When `seeds` (B,) int32 is given, each sample's noise is derived from its
+    OWN seed — `fold_in(PRNGKey(seed_i), 0)` — so the result is independent of
+    which other requests were co-batched and of the batch slot. A request
+    batched by the DynamicBatcher then reproduces bit-for-bit what the same
+    request produces alone via the pipeline (which passes key=PRNGKey(seed)
+    for a batch of one, i.e. fold_in(PRNGKey(seed), 0)).
+    """
+    if seeds is not None:
+        def one(s):
+            return jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(s), 0),
+                                     (length, channels), jnp.float32)
+
+        y0 = jax.vmap(one)(seeds)
+    else:
+        def one(i):
+            return jax.random.normal(jax.random.fold_in(key, i), (length, channels), jnp.float32)
+
+        y0 = jax.vmap(one)(jnp.arange(batch))
     keep = lens_to_mask(durations, length)
     return jnp.where(keep[:, :, None], y0, 0.0)
 
@@ -199,6 +214,7 @@ def sample(
     use_mask: bool = True,
     t_start: float = 0.0,
     test_cond: Optional[jnp.ndarray] = None,  # duplicate_test diagnostic
+    seeds: Optional[jnp.ndarray] = None,  # (B,) per-request noise seeds
     compute_dtype=jnp.bfloat16,
 ):
     """Standard 2-pass CFG sampler: pred + (pred - null_pred) * cfg.
@@ -209,6 +225,10 @@ def sample(
     the conditioning mel (cfm.py:476).
     """
     b, n, mel_dim = inputs.cond.shape
+    if t_start > 0.0:
+        # duplicate_test probe shrinks the grid so step density matches the
+        # full [0, 1] schedule (reference cfm.py:461-465).
+        steps = max(int(steps * (1.0 - t_start)), 1)
     mask = lens_to_mask(inputs.duration, n) if use_mask else None
 
     if cfg_strength < 1e-5:
@@ -223,7 +243,7 @@ def sample(
 
     step_fn = _folded_cfg_flow(params, state, arch, inputs, branches, weights, mask, compute_dtype)
 
-    y0 = noise_like(key, b, n, mel_dim, inputs.duration)
+    y0 = noise_like(key, b, n, mel_dim, inputs.duration, seeds=seeds)
     if test_cond is not None:
         # duplicate_test diagnostic (reference cfm.py:410-412, 461-465): start
         # the ODE at t_start from a mix of noise and the shifted ground truth
@@ -250,6 +270,7 @@ def sample_tts(
     alpha_txt: float = 1.0,
     sway_coef: Optional[float] = None,
     use_mask: bool = True,
+    seeds: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
 ):
     """MegaTTS3-style dual-alpha TTS CFG (3 branches folded into one 3B batch).
@@ -268,7 +289,7 @@ def sample_tts(
     weights = [1.0 - alpha_txt, alpha_txt - alpha_spk, alpha_spk]
 
     step_fn = _folded_cfg_flow(params, state, arch, inputs, branches, weights, mask, compute_dtype)
-    y0 = noise_like(key, b, n, mel_dim, inputs.duration)
+    y0 = noise_like(key, b, n, mel_dim, inputs.duration, seeds=seeds)
     ts = jnp.asarray(sway_timesteps(steps, sway_coef))
     y_final, traj = _ode_scan(step_fn, y0, ts, cfm.ode_method)
     out = jnp.where(inputs.cond_mask[:, :, None], inputs.cond, y_final)
@@ -290,6 +311,7 @@ def sample_vc(
     alpha_ppg: float = 1.0,
     sway_coef: Optional[float] = None,
     use_mask: bool = True,
+    seeds: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
 ):
     """Voice-conversion CFG over PPG (text fully dropped in all branches).
@@ -308,7 +330,7 @@ def sample_vc(
     weights = [1.0 - alpha_ppg, alpha_ppg - alpha_spk, alpha_spk]
 
     step_fn = _folded_cfg_flow(params, state, arch, inputs, branches, weights, mask, compute_dtype)
-    y0 = noise_like(key, b, n, mel_dim, inputs.duration)
+    y0 = noise_like(key, b, n, mel_dim, inputs.duration, seeds=seeds)
     ts = jnp.asarray(sway_timesteps(steps, sway_coef))
     y_final, traj = _ode_scan(step_fn, y0, ts, cfm.ode_method)
     out = jnp.where(inputs.cond_mask[:, :, None], inputs.cond, y_final)

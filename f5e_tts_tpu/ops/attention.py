@@ -116,6 +116,7 @@ def sdpa(
     k: jnp.ndarray,  # (B, M, H, Dh)
     v: jnp.ndarray,  # (B, M, H, Dh)
     mask: Optional[jnp.ndarray] = None,  # (B, M) True=keep, key padding mask
+    prefix_mask: bool = True,
 ) -> jnp.ndarray:
     """Fused scaled-dot-product attention, (B, N, H, Dh) out.
 
@@ -124,11 +125,13 @@ def sdpa(
     the XLA path at these shapes. Stock flash kernel available behind
     F5E_FLASH_ATTENTION=1 (measured slower here); XLA fallback elsewhere.
 
-    NOTE on masks: the kernel takes key-validity LENGTHS, i.e. it assumes the
-    padding mask is a length prefix (True...False...) — which is what
-    lens_to_mask produces everywhere in this framework.
+    NOTE on masks: the kernel takes key-validity LENGTHS, i.e. it requires the
+    padding mask to be a length prefix (True...False...) — what lens_to_mask
+    produces. Callers whose mask is NOT a prefix (e.g. joint attention's
+    audio-prefix + all-True text tail) must pass prefix_mask=False so the
+    Pallas length path is skipped; the flash/XLA paths handle arbitrary masks.
     """
-    if _USE_PALLAS_FULLKV and _backend_is_tpu():
+    if _USE_PALLAS_FULLKV and _backend_is_tpu() and (mask is None or prefix_mask):
         from f5e_tts_tpu.ops.pallas_attention import mha_fullkv_ad, supported
 
         if supported(q, k):
@@ -312,7 +315,10 @@ def joint_attention(
     else:
         full_mask = None
 
-    o = sdpa(q, k, v, mask=full_mask).reshape(b, n + nt, heads * dh)
+    # full_mask = [audio prefix | all-True text] is NOT a length prefix when
+    # any audio position is padded — the Pallas length path would attend the
+    # padded audio and mask the valid text tail. Route to flash/XLA instead.
+    o = sdpa(q, k, v, mask=full_mask, prefix_mask=False).reshape(b, n + nt, heads * dh)
     xo, co = o[:, :n], o[:, n:]
     xo = fnn.linear(p["to_out"], xo, compute_dtype)
     if not context_pre_only:

@@ -88,8 +88,12 @@ def gated_adaln(x, y, gate, scale, shift):
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if on_tpu and x.shape[1] % 128 == 0:
-        return _gated_adaln_fwd_impl(x, y, gate, scale, shift)
+    n = x.shape[1]
+    # block_n must divide n exactly (the kernel asserts); training batches are
+    # padded to multiples of 128, so 384/640/896-frame batches need block 128.
+    block_n = 256 if n % 256 == 0 else 128
+    if on_tpu and n % block_n == 0:
+        return _gated_adaln_fwd_impl(x, y, gate, scale, shift, block_n=block_n)
     return _reference_gated_adaln(x, y, gate, scale, shift)
 
 

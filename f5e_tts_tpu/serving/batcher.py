@@ -104,20 +104,26 @@ class DynamicBatcher:
         lens = np.ones((b,), np.int32)
         durations = np.full((b,), 2, np.int32)
         ids = np.full((b, nt), -1, np.int32)
+        seeds = np.zeros((b,), np.int32)
         for i, r in enumerate(batch):
             rf = min(r.ref_mel.shape[0], bucket)
             conds[i, :rf] = r.ref_mel[:rf]
             lens[i] = rf
             durations[i] = min(max(r.duration, rf + 1, len(r.text_ids) + 1), bucket)
             ids[i, : min(len(r.text_ids), nt)] = r.text_ids[:nt]
+            seeds[i] = np.int64(r.seed) & 0x7FFFFFFF
 
         inputs = fcfm.prepare_inputs(jnp.asarray(conds), jnp.asarray(lens),
                                      jnp.asarray(durations), bucket,
                                      text_ids=jnp.asarray(ids))
+        # per-request seeds: each slot's noise depends only on its own seed,
+        # so output is reproducible regardless of co-batching (fixes the
+        # batch[0].seed + slot-index coupling flagged in round-1 review).
         out, _ = fcfm.sample(eng.params, eng.state, eng.arch, eng.cfm, inputs,
-                             jax.random.PRNGKey(batch[0].seed), steps=self.nfe,
+                             jax.random.PRNGKey(0), steps=self.nfe,
                              cfg_strength=self.cfg_strength, sway_coef=self.sway,
-                             use_mask=True, compute_dtype=eng.compute_dtype)
+                             use_mask=True, seeds=jnp.asarray(seeds),
+                             compute_dtype=eng.compute_dtype)
         out = np.asarray(out, np.float32)
         for i, r in enumerate(batch):
             mel_gen = out[i, int(lens[i]) : int(durations[i])]

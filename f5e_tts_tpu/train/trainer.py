@@ -136,39 +136,21 @@ class Trainer:
         mel_cfg = self.model_cfg.mel
         arch, cfm, dtype = self.arch, self.cfm, self.compute_dtype
         optimizer = self.optimizer
-        ema_decay = self.train_cfg.ema_decay
+        ema = fstep.EMASettings.from_train_cfg(self.train_cfg)
+        grad_accum = self.train_cfg.grad_accumulation_steps
 
         # single jitted step handling both audio->mel and precomputed-mel batches
         def full_step(ts, batch, rng):
-            rng = jax.random.fold_in(rng, ts.update + ts.skipped)
+            rng = jax.random.fold_in(rng, ts.micro + ts.skipped)
 
             def loss_fn(params):
                 out = loss_with_device_mel(params, ts.model_state, arch, cfm, mel_cfg,
                                            batch, rng, dtype)
                 return out.loss, out
 
-            import optax
-
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
-            grad_norm = optax.global_norm(grads)
-            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
-            updates, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
-            new_params = optax.apply_updates(ts.params, updates)
-            keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
-            new_params = keep(new_params, ts.params)
-            new_opt = keep(new_opt, ts.opt_state)
-            new_model_state = keep(out.new_state, ts.model_state) if out.new_state else ts.model_state
-            new_update = ts.update + ok.astype(jnp.int32)
-            do_ema = (new_update % 10 == 0) & ok
-            warm = new_update <= 100
-            new_ema = jax.tree.map(
-                lambda e, p: jnp.where(do_ema, jnp.where(warm, p, e * ema_decay + p * (1 - ema_decay)), e),
-                ts.ema_params, new_params)
-            metrics = fstep.StepMetrics(loss=loss, flow_loss=out.flow_loss,
-                                        extra_loss=out.extra_loss, grad_norm=grad_norm,
-                                        skipped=(~ok).astype(jnp.int32))
-            return fstep.TrainState(new_params, new_ema, new_opt, new_model_state,
-                                    new_update, ts.skipped + (~ok).astype(jnp.int32)), metrics
+            return fstep.apply_gradients(ts, loss, out, grads, optimizer=optimizer,
+                                         ema=ema, grad_accum=grad_accum)
 
         return jax.jit(full_step, donate_argnums=(0,))
 
@@ -265,7 +247,12 @@ class Trainer:
               max_updates: Optional[int] = None):
         tc = self.train_cfg
         epochs = epochs if epochs is not None else tc.epochs
-        total_updates = max_updates or (len(loader) * epochs)
+        # schedule horizon in OPTIMIZER updates (reference trainer.py:334:
+        # ceil(len(dataloader) / grad_accumulation_steps) * epochs)
+        import math
+
+        total_updates = max_updates or (
+            math.ceil(len(loader) / tc.grad_accumulation_steps) * epochs)
         ts = self.init_state(total_updates, rng_seed=tc.seed)
         if resume:
             ts = self.load_checkpoint(ts)
@@ -293,8 +280,9 @@ class Trainer:
         done = False
         # dataloader fast-forward on resume (reference trainer.py:347-352:
         # accelerator.skip_first_batches) — replay the seeded schedule up to
-        # the restored update count
-        skip_epochs, skip_batches = divmod(start_update, max(len(loader), 1))
+        # the number of batches already consumed (micro-steps incl. NaN skips)
+        consumed = int(ts.micro) + int(ts.skipped)
+        skip_epochs, skip_batches = divmod(consumed, max(len(loader), 1))
         with self.mesh:
             for epoch in range(skip_epochs, epochs):
                 if done:
@@ -319,6 +307,7 @@ class Trainer:
                     batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()
                              if k in shardings}
                     t_step = time.time()
+                    prev_update = int(ts.update)
                     ts, metrics = step(ts, batch, rng)
                     update = int(ts.update)
                     if self.log_fn is not None:
@@ -326,11 +315,15 @@ class Trainer:
                                      "grad_norm": float(metrics.grad_norm),
                                      "extra_loss": float(metrics.extra_loss),
                                      "step_seconds": time.time() - t_step}, update)
-                    if update % tc.last_per_updates == 0:
+                    # cadenced actions fire once per optimizer update, never on
+                    # intermediate accumulation micro-steps
+                    advanced = update != prev_update
+                    if advanced and update % tc.last_per_updates == 0:
                         self.save_checkpoint(ts, last=True)
-                    if update % tc.save_per_updates == 0:
+                    if advanced and update % tc.save_per_updates == 0:
                         self.save_checkpoint(ts)
-                    if self.sample_fn is not None and update % tc.log_samples_per_updates == 0:
+                    if (self.sample_fn is not None and advanced
+                            and update % tc.log_samples_per_updates == 0):
                         self.sample_fn(jax.device_get(ts.ema_params), update)
                     if preempted["flag"]:
                         print("SIGTERM received — checkpointing and exiting")

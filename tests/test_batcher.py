@@ -91,3 +91,28 @@ def test_grad_accumulation():
     p2 = optax.apply_updates(p1, updates)
     # second micro-step applies the real update
     assert abs(float(p2["w"][0]) - 1.0) > 1e-5
+
+
+def test_batcher_per_request_seed_invariance(engine, rng):
+    """A request's output must depend only on its own seed, not on co-batched
+    requests or its batch slot (round-1 advisor medium)."""
+    ids_a = list_str_to_idx([list("abc gh")], VOCAB)[0]
+    ids_b = list_str_to_idx([list("h gfe")], VOCAB)[0]
+    ref_a = rng.standard_normal((40, 12)).astype(np.float32)
+    ref_b = rng.standard_normal((48, 12)).astype(np.float32)
+
+    # run A alone (tiny window -> solo batch)
+    batcher = DynamicBatcher(engine, max_batch=4, window_ms=1, nfe_steps=2)
+    _, mel_alone = batcher.submit(ref_a, ids_a, duration=100, seed=7).result(timeout=300)
+    batcher.stop()
+
+    # run A co-batched with B, A in slot 1 this time (same duration -> same bucket)
+    batcher = DynamicBatcher(engine, max_batch=4, window_ms=500, nfe_steps=2)
+    fut_b = batcher.submit(ref_b, ids_b, duration=100, seed=99)
+    fut_a = batcher.submit(ref_a, ids_a, duration=100, seed=7)
+    _, mel_cobatched = fut_a.result(timeout=300)
+    _, mel_b = fut_b.result(timeout=300)
+    batcher.stop()
+
+    np.testing.assert_array_equal(mel_alone, mel_cobatched)
+    assert not np.array_equal(mel_b[: mel_alone.shape[0]], mel_alone)

@@ -86,3 +86,35 @@ def test_supported_gate():
     assert not pa.supported(q3, q3)
     q4 = jnp.zeros((1, 8192, 16, 64), jnp.bfloat16)  # scores too big for VMEM
     assert not pa.supported(q4, q4)
+
+
+def test_sdpa_nonprefix_mask_skips_length_path(monkeypatch, rng):
+    """joint attention's [audio-prefix | all-True text] mask is not a length
+    prefix; sdpa must NOT route it to the kv_lens Pallas kernel (round-1
+    advisor high). We force the TPU dispatch on and plant a sentinel kernel."""
+    from f5e_tts_tpu.ops import attention as att
+
+    called = {"n": 0}
+
+    def sentinel(q, k, v, kv_lens):
+        called["n"] += 1
+        return jnp.zeros_like(q)
+
+    monkeypatch.setattr(att, "_backend_is_tpu", lambda: True)
+    monkeypatch.setattr(pa, "mha_fullkv_ad", sentinel)
+
+    b, n, h, dh = 1, 128, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    # non-prefix mask: padded audio in the middle, valid text at the end
+    mask = np.ones((b, n), bool)
+    mask[:, 40:80] = False
+    mask = jnp.asarray(mask)
+
+    out = att.sdpa(q, q, q, mask=mask, prefix_mask=False)
+    assert called["n"] == 0  # fell through to flash/XLA
+    ref = jax.nn.dot_product_attention(q, q, q, mask=mask[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    # prefix masks still take the kernel path
+    att.sdpa(q, q, q, mask=jnp.asarray(np.ones((b, n), bool)))
+    assert called["n"] == 1

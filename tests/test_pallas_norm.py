@@ -22,6 +22,25 @@ def test_fused_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-4)
 
 
+def test_non_256_multiple_lengths(rng):
+    """Batches padded to 128-multiples that are NOT 256-multiples (384/640/896)
+    must not trip the kernel's divisibility assert (round-1 advisor high)."""
+    b, d = 2, 64
+    for n in (384, 640, 896):
+        x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        gate = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+        scale = jnp.zeros((b, d), jnp.float32)
+        shift = jnp.zeros((b, d), jnp.float32)
+        block_n = 256 if n % 256 == 0 else 128  # dispatch rule in gated_adaln
+        assert n % block_n == 0
+        nx1, o1 = _gated_adaln_fwd_impl(x, y, gate, scale, shift,
+                                        block_n=block_n, interpret=True)
+        nx2, o2 = _reference_gated_adaln(x, y, gate, scale, shift)
+        np.testing.assert_allclose(np.asarray(nx1), np.asarray(nx2), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-4)
+
+
 def test_gradients(rng):
     b, n, d = 1, 128, 32
     x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))

@@ -146,3 +146,119 @@ def test_loaded_ema_export_matches(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["time_embed"]["mlp1"]["w"]),
         np.asarray(jax.device_get(ts.ema_params["time_embed"]["mlp1"]["w"])), rtol=1e-6)
+
+
+def _ema_pytorch_oracle(n_updates, p_stream, beta=0.9999, update_after_step=100,
+                        update_every=10, inv_gamma=1.0, power=2.0 / 3.0, min_value=0.0):
+    """Handwritten ema_pytorch semantics: EMA.update() called once per
+    optimizer update with an internal call counter starting at 0."""
+    ema = None
+    step = 0
+    initted = False
+    for u in range(n_updates):
+        p = p_stream[u]
+        s = step
+        step += 1
+        if (s % update_every) != 0:
+            continue
+        if s <= update_after_step:
+            ema = p.copy()
+            continue
+        if not initted:
+            ema = p.copy()
+            initted = True
+        epoch = max(step - update_after_step - 1, 0.0)
+        value = 1.0 - (1.0 + epoch / inv_gamma) ** (-power)
+        decay = 0.0 if epoch <= 0 else min(max(value, min_value), beta)
+        ema = ema * decay + p * (1.0 - decay)
+    return ema
+
+
+def test_ema_matches_ema_pytorch_oracle():
+    """Our in-graph EMA vs a handwritten ema_pytorch oracle over 300 updates:
+    exact semantics match (ramped decay, warm copies, update_every gating)."""
+    from f5e_tts_tpu.train import step as fstep
+
+    ema_cfg = fstep.EMASettings(beta=0.9999, update_after_step=100, update_every=10,
+                                inv_gamma=1.0, power=2.0 / 3.0, min_value=0.0)
+    rng = np.random.default_rng(3)
+    n = 300
+    p_stream = rng.standard_normal((n, 5)).astype(np.float64)
+
+    # replay our step-side EMA recurrence directly
+    ema = np.zeros(5)
+    for u in range(1, n + 1):  # u = new_update after the u-th optimizer update
+        pre = u - 1
+        if pre % ema_cfg.update_every != 0:
+            continue
+        hard_copy = pre <= ema_cfg.update_after_step + ema_cfg.update_every
+        decay = float(fstep.ema_decay_at(jnp.asarray(u), ema_cfg))
+        p = p_stream[u - 1]
+        ema = p.copy() if hard_copy else ema * decay + p * (1 - decay)
+
+    oracle = _ema_pytorch_oracle(n, p_stream)
+    # exact recurrence; decay scalar evaluated in f32 on-device -> ~1e-7
+    np.testing.assert_allclose(ema, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_ema_in_graph_matches_oracle():
+    """End-to-end: apply_gradients' EMA over many updates == oracle."""
+    import optax
+
+    from f5e_tts_tpu.train import step as fstep
+    from f5e_tts_tpu.models.cfm import CFMLossOut
+
+    ema_cfg = fstep.EMASettings(beta=0.99, update_after_step=3, update_every=2,
+                                inv_gamma=1.0, power=2.0 / 3.0, min_value=0.0)
+    opt = optax.sgd(0.1)
+    params = {"w": jnp.asarray(np.ones(4, np.float32))}
+    ts = fstep.init_train_state(params, {}, opt)
+    rng = np.random.default_rng(5)
+    grads_seq = rng.standard_normal((40, 4)).astype(np.float32)
+
+    out = CFMLossOut(loss=jnp.float32(0.1), flow_loss=jnp.float32(0.1),
+                     extra_loss=jnp.float32(0.0), new_state={}, cond=jnp.zeros(()),
+                     pred=jnp.zeros(()))
+    p_stream = []
+    for g in grads_seq:
+        ts, _ = fstep.apply_gradients(ts, jnp.float32(0.1), out, {"w": jnp.asarray(g)},
+                                      optimizer=opt, ema=ema_cfg, grad_accum=1)
+        p_stream.append(np.asarray(ts.params["w"], np.float64))
+
+    oracle = _ema_pytorch_oracle(len(p_stream), np.stack(p_stream),
+                                 beta=0.99, update_after_step=3, update_every=2)
+    np.testing.assert_allclose(np.asarray(ts.ema_params["w"]), oracle, rtol=1e-5)
+    assert int(ts.update) == 40 and int(ts.micro) == 40
+
+
+def test_update_counts_optimizer_updates_under_accumulation():
+    """With grad_accumulation_steps=k, `update` advances once per k successful
+    micro-steps and the LR schedule advances in update units."""
+    import optax
+
+    from f5e_tts_tpu.train import step as fstep
+    from f5e_tts_tpu.models.cfm import CFMLossOut
+
+    tc = TrainConfig(learning_rate=1.0, num_warmup_updates=4, grad_accumulation_steps=2)
+    opt = fstep.make_optimizer(tc, total_updates=8)
+    params = {"w": jnp.ones(3)}
+    ts = fstep.init_train_state(params, {}, opt)
+    out = CFMLossOut(loss=jnp.float32(0.1), flow_loss=jnp.float32(0.1),
+                     extra_loss=jnp.float32(0.0), new_state={}, cond=jnp.zeros(()),
+                     pred=jnp.zeros(()))
+    g = {"w": jnp.ones(3)}
+    for i in range(6):
+        ts, _ = fstep.apply_gradients(ts, jnp.float32(0.1), out, g, optimizer=opt,
+                                      ema=fstep.EMASettings(), grad_accum=2)
+    assert int(ts.micro) == 6
+    assert int(ts.update) == 3  # 6 micro-steps / k=2
+
+    # NaN micro-step: nothing advances
+    ts, m = fstep.apply_gradients(ts, jnp.float32(np.nan), out, g, optimizer=opt,
+                                  ema=fstep.EMASettings(), grad_accum=2)
+    assert int(ts.micro) == 6 and int(ts.update) == 3 and int(ts.skipped) == 1
+
+    # the inner schedule saw 3 updates: warmup step 3/4 of the ramp to lr=1.0
+    sched = fstep.make_schedule(tc, total_updates=8)
+    lr_now = float(sched(3))
+    assert 0.5 < lr_now < 1.0
