@@ -268,3 +268,371 @@ def test_cfm_sample_duplicate_test_matches_reference(ref, rng, monkeypatch):
                          use_mask=False, t_start=t_inter,
                          test_cond=jnp.asarray(test_cond), compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=5e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# MMDiT / UNetT backbones
+# ---------------------------------------------------------------------------
+
+def _strict_load(ref_model, sd):
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}, strict=False)
+    assert not unexpected, f"keys the reference does not know: {unexpected}"
+    bad = [k for k in missing
+           if not any(s in k for s in ("freqs_cis", "inv_freq", "mel_spec.dummy"))]
+    assert not bad, f"unexpected missing keys: {bad}"
+
+
+def test_mmdit_forward_matches_reference(ref, rng):
+    from f5e_tts_tpu.config import MMDiTConfig
+    from f5e_tts_tpu.models import mmdit as fmmdit
+    from f5e_tts_tpu.utils.torch_ckpt import mmdit_to_torch
+
+    cfg = MMDiTConfig(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2,
+                      mel_dim=10, dropout=0.0)
+    vocab = 20
+    m = ref.mmdit.MMDiT(dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
+                        dim_head=cfg.dim_head, dropout=0.0, ff_mult=cfg.ff_mult,
+                        mel_dim=cfg.mel_dim, text_num_embeds=vocab,
+                        qk_norm=cfg.qk_norm)
+    m.eval()
+
+    params, state = fmmdit.init_mmdit(jax.random.PRNGKey(3), cfg, vocab)
+    r = np.random.default_rng(3)
+
+    def dezero(p):
+        return jax.tree.map(
+            lambda a: jnp.asarray(r.standard_normal(a.shape).astype(np.float32)) * 0.05
+            if float(jnp.abs(a).max()) == 0 else a, p)
+
+    for k in ("norm_out", "proj_out", "final_block"):
+        params[k] = dezero(params[k])
+    params["blocks"] = dezero(params["blocks"])
+    _strict_load(m, mmdit_to_torch(params, state, cfg, prefix=""))
+
+    b, n, nt = 2, 24, 9
+    x = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(0, vocab, (b, nt)).astype(np.int32)
+    text[1, 6:] = -1
+    time = np.asarray([0.3, 0.7], np.float32)
+    lens = np.asarray([24, 18])
+    mask_np = (np.arange(n)[None, :] < lens[:, None])
+
+    for use_mask in (False, True):
+        for drop_audio, drop_text in [(False, False), (True, True)]:
+            with torch.no_grad():
+                expect = m(
+                    x=torch.from_numpy(x), cond=torch.from_numpy(cond),
+                    text=torch.from_numpy(text).long(), time=torch.from_numpy(time),
+                    drop_audio_cond=drop_audio, drop_text=drop_text,
+                    mask=torch.from_numpy(mask_np) if use_mask else None,
+                ).numpy()
+            jp = jax.tree.map(jnp.asarray, params)
+            flags = jnp.full((b,), True)
+            pred = fmmdit.mmdit_forward(
+                jp, state, cfg, x=jnp.asarray(x), cond=jnp.asarray(cond),
+                text_ids=jnp.asarray(text), time=jnp.asarray(time),
+                drop_audio_cond=flags & drop_audio, drop_text=flags & drop_text,
+                mask=jnp.asarray(mask_np) if use_mask else None,
+                compute_dtype=jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(pred), expect, rtol=2e-3, atol=2e-4,
+                err_msg=f"mask={use_mask} drop_audio={drop_audio} drop_text={drop_text}")
+
+
+def test_unett_forward_matches_reference(ref, rng):
+    from f5e_tts_tpu.config import UNetTConfig
+    from f5e_tts_tpu.models import unett as funett
+    from f5e_tts_tpu.utils.torch_ckpt import unett_to_torch
+
+    cfg = UNetTConfig(dim=64, depth=4, heads=2, dim_head=32, ff_mult=2,
+                      mel_dim=10, text_dim=None, text_mask_padding=False,
+                      conv_layers=0, pe_attn_head=1, skip_connect_type="concat",
+                      dropout=0.0)
+    vocab = 20
+    m = ref.unett.UNetT(dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
+                        dim_head=cfg.dim_head, dropout=0.0, ff_mult=cfg.ff_mult,
+                        mel_dim=cfg.mel_dim, text_num_embeds=vocab,
+                        text_dim=cfg.text_dim, text_mask_padding=cfg.text_mask_padding,
+                        conv_layers=cfg.conv_layers, pe_attn_head=cfg.pe_attn_head,
+                        skip_connect_type=cfg.skip_connect_type)
+    m.eval()
+
+    params, state = funett.init_unett(jax.random.PRNGKey(4), cfg, vocab)
+    _strict_load(m, unett_to_torch(params, state, cfg, prefix=""))
+
+    b, n, nt = 2, 24, 9
+    x = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    cond = rng.standard_normal((b, n, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(0, vocab, (b, nt)).astype(np.int32)
+    text[1, 6:] = -1
+    time = np.asarray([0.3, 0.7], np.float32)
+    lens = np.asarray([24, 18])
+    mask_np = (np.arange(n)[None, :] < lens[:, None])
+
+    for use_mask in (False, True):
+        for drop_audio, drop_text in [(False, False), (True, True)]:
+            with torch.no_grad():
+                expect = m(
+                    x=torch.from_numpy(x), cond=torch.from_numpy(cond),
+                    text=torch.from_numpy(text).long(), time=torch.from_numpy(time),
+                    drop_audio_cond=drop_audio, drop_text=drop_text,
+                    mask=torch.from_numpy(mask_np) if use_mask else None,
+                ).numpy()
+            jp = jax.tree.map(jnp.asarray, params)
+            flags = jnp.full((b,), True)
+            pred = funett.unett_forward(
+                jp, state, cfg, x=jnp.asarray(x), cond=jnp.asarray(cond),
+                text_ids=jnp.asarray(text), time=jnp.asarray(time),
+                drop_audio_cond=flags & drop_audio, drop_text=flags & drop_text,
+                mask=jnp.asarray(mask_np) if use_mask else None,
+                compute_dtype=jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(pred), expect, rtol=2e-3, atol=3e-4,
+                err_msg=f"mask={use_mask} drop_audio={drop_audio} drop_text={drop_text}")
+
+
+# ---------------------------------------------------------------------------
+# sample_tts (dual-alpha 3-pass CFG)
+# ---------------------------------------------------------------------------
+
+def test_sample_tts_matches_reference(ref, rng, monkeypatch):
+    cfg = DIT_CFGS[0]
+    vocab = 20
+    m = _ref_dit(ref, cfg, vocab)
+    params, state = _transfer_weights(cfg, vocab, m)
+    ref_cfm = ref.cfm.CFM(transformer=m, num_channels=cfg.mel_dim,
+                          mel_spec_kwargs=dict(n_mel_channels=cfg.mel_dim))
+    ref_cfm.eval()
+
+    b, cond_len, nt = 2, 18, 9
+    cond = rng.standard_normal((b, cond_len, cfg.mel_dim)).astype(np.float32)
+    text = rng.integers(0, vocab, (b, nt)).astype(np.int32)
+    text[1, 6:] = -1
+    lens = np.asarray([18, 15], np.int64)
+    duration = np.asarray([40, 33], np.int64)
+    steps, a_spk, a_txt, sway = 6, 3.5, 3.0, -1.0
+
+    with torch.no_grad():
+        expect, _ = ref_cfm.sample_tts(
+            cond=torch.from_numpy(cond), text=torch.from_numpy(text).long(),
+            duration=torch.from_numpy(duration.copy()), lens=torch.from_numpy(lens.copy()),
+            steps=steps, alpha_spk=a_spk, alpha_txt=a_txt,
+            sway_sampling_coef=sway, seed=11)
+    expect = expect.numpy()
+
+    max_dur = int(duration.max())
+    y0 = np.zeros((b, max_dur, cfg.mel_dim), np.float32)
+    for i, dur in enumerate(duration):
+        torch.manual_seed(11)
+        y0[i, :dur] = torch.randn(int(dur), cfg.mel_dim).numpy()
+    monkeypatch.setattr(fcfm, "noise_like", lambda *a, **k: jnp.asarray(y0))
+
+    inputs = fcfm.prepare_inputs(
+        cond=jnp.asarray(cond), lens=jnp.asarray(lens), duration=jnp.asarray(duration),
+        max_duration=max_dur, text_ids=jnp.asarray(text))
+    jp = jax.tree.map(jnp.asarray, params)
+    out, _ = fcfm.sample_tts(jp, state, cfg, CFMConfig(), inputs, jax.random.PRNGKey(0),
+                             steps=steps, alpha_spk=a_spk, alpha_txt=a_txt,
+                             sway_coef=sway, use_mask=True, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=5e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# sample_vc (PPG model)
+# ---------------------------------------------------------------------------
+
+def test_sample_vc_matches_reference(ref, rng, monkeypatch):
+    from f5e_tts_tpu.config import PPGConfig
+
+    # text_mask_padding=False: the reference's TextEmbedding crashes on
+    # text=None (sample_vc's only mode) when mask_padding=True and
+    # conv_layers>0 — text_mask is read before assignment (dit.py:62-80)
+    cfg = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=10,
+                    text_dim=32, conv_layers=1, text_mask_padding=False, dropout=0.0,
+                    ppg=PPGConfig(use_ppg=True, ppg_dim=16))
+    vocab = 20
+    m = ref.dit.DiT(
+        dim=cfg.dim, depth=cfg.depth, heads=cfg.heads, dim_head=cfg.dim_head,
+        dropout=0.0, ff_mult=cfg.ff_mult, mel_dim=cfg.mel_dim,
+        text_num_embeds=vocab, text_dim=cfg.text_dim,
+        text_mask_padding=cfg.text_mask_padding,
+        conv_layers=cfg.conv_layers,
+        ppg_config=dict(use_ppg=True, ppg_dim=16, use_transformer=False,
+                        transformer_config={}, use_cross_mask=False),
+    )
+    m.eval()
+    m.use_cross_mask = False
+    params, state = _transfer_weights(cfg, vocab, m)
+
+    ref_cfm = ref.cfm.CFM(transformer=m, num_channels=cfg.mel_dim,
+                          mel_spec_kwargs=dict(n_mel_channels=cfg.mel_dim),
+                          ppg_config=dict(use_ppg=True,
+                                          combined_cond_drop_prob=[0.3, 0.1, 0.5, 0.1]))
+    ref_cfm.eval()
+
+    b, cond_len, np_len = 2, 18, 30
+    cond = rng.standard_normal((b, cond_len, cfg.mel_dim)).astype(np.float32)
+    ppg = rng.standard_normal((b, np_len, 16)).astype(np.float32)
+    lens = np.asarray([18, 15], np.int64)
+    duration = np.asarray([40, 33], np.int64)
+    steps, a_spk, a_ppg, sway = 6, 3.5, 3.0, -1.0
+
+    with torch.no_grad():
+        expect, _ = ref_cfm.sample_vc(
+            cond=torch.from_numpy(cond), ppg=torch.from_numpy(ppg),
+            duration=torch.from_numpy(duration.copy()), lens=torch.from_numpy(lens.copy()),
+            steps=steps, alpha_spk=a_spk, alpha_ppg=a_ppg,
+            sway_sampling_coef=sway, seed=13)
+    expect = expect.numpy()
+
+    max_dur = int(duration.max())
+    y0 = np.zeros((b, max_dur, cfg.mel_dim), np.float32)
+    for i, dur in enumerate(duration):
+        torch.manual_seed(13)
+        y0[i, :dur] = torch.randn(int(dur), cfg.mel_dim).numpy()
+    monkeypatch.setattr(fcfm, "noise_like", lambda *a, **k: jnp.asarray(y0))
+
+    inputs = fcfm.prepare_inputs(
+        cond=jnp.asarray(cond), lens=jnp.asarray(lens), duration=jnp.asarray(duration),
+        max_duration=max_dur, text_ids=None, ppg=jnp.asarray(ppg))
+    jp = jax.tree.map(jnp.asarray, params)
+    out, _ = fcfm.sample_vc(jp, state, cfg, CFMConfig(), inputs, jax.random.PRNGKey(0),
+                            steps=steps, alpha_spk=a_spk, alpha_ppg=a_ppg,
+                            sway_coef=sway, use_mask=True, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=5e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# MAS kernel
+# ---------------------------------------------------------------------------
+
+def test_mas_matches_reference(ref, rng):
+    from f5e_tts_tpu.ops import mas as fmas
+
+    b, t_y, t_x = 3, 20, 12
+    neg_cent = rng.standard_normal((b, t_y, t_x)).astype(np.float32)
+    t_ys = np.asarray([20, 14, 9], np.int32)
+    t_xs = np.asarray([12, 7, 9], np.int32)
+    # reference wrapper takes a mask and derives lengths (monotonic_align/__init__.py:7-16)
+    mask = ((np.arange(t_y)[None, :, None] < t_ys[:, None, None]) &
+            (np.arange(t_x)[None, None, :] < t_xs[:, None, None]))
+    with torch.no_grad():
+        expect = ref.monotonic_align.maximum_path(
+            torch.from_numpy(neg_cent.copy()), torch.from_numpy(mask.astype(np.float32))
+        ).numpy()
+    got = np.asarray(fmas.maximum_path(jnp.asarray(neg_cent), jnp.asarray(t_ys),
+                                       jnp.asarray(t_xs)))
+    np.testing.assert_array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# Gumbel VQ (eval mode is deterministic) + align loss
+# ---------------------------------------------------------------------------
+
+def _make_quantizer_pair(ref, cb, dim, seed=5):
+    """Init our VQ params and push the same weights into a reference module."""
+    from f5e_tts_tpu.ops import vq as fvq
+
+    params = fvq.gumbel_vq_init(jax.random.PRNGKey(seed), cb, dim)
+    q = ref.modules.GumbelVectorQuantizer(
+        dim=dim, num_vars=cb.num_vars,
+        temp=(cb.temp_start, cb.temp_stop, cb.temp_decay),
+        groups=cb.groups, combine_groups=cb.combine_groups, vq_dim=dim,
+        time_first=True, weight_proj_depth=cb.weight_proj_depth,
+        weight_proj_factor=cb.weight_proj_factor)
+    q.eval()
+    with torch.no_grad():
+        q.vars.copy_(torch.from_numpy(np.asarray(params["vars"])))
+        wp = params["weight_proj"]
+        if cb.weight_proj_depth == 1:
+            q.weight_proj.weight.copy_(torch.from_numpy(np.asarray(wp["layer_0"]["w"]).T))
+            q.weight_proj.bias.copy_(torch.from_numpy(np.asarray(wp["layer_0"]["b"])))
+        else:
+            # Sequential(block(Linear,GELU)..., Linear)
+            lin_idx = 0
+            for mod in q.weight_proj.modules():
+                if isinstance(mod, torch.nn.Linear):
+                    p = wp[f"layer_{lin_idx}"]
+                    mod.weight.copy_(torch.from_numpy(np.asarray(p["w"]).T))
+                    mod.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
+                    lin_idx += 1
+    return params, q
+
+
+@pytest.mark.parametrize("depth,groups,combine", [(1, 2, False), (2, 2, True)])
+def test_gumbel_vq_eval_matches_reference(ref, rng, depth, groups, combine):
+    from f5e_tts_tpu.config import CodebookConfig
+    from f5e_tts_tpu.ops import vq as fvq
+
+    dim = 32
+    cb = CodebookConfig(use_codebook=True, num_vars=12, groups=groups,
+                        combine_groups=combine, weight_proj_depth=depth,
+                        weight_proj_factor=2)
+    params, q = _make_quantizer_pair(ref, cb, dim)
+
+    x = rng.standard_normal((2, 14, dim)).astype(np.float32)
+    with torch.no_grad():
+        res = q(torch.from_numpy(x))
+    got = fvq.gumbel_vq_apply(params, cb, jnp.asarray(x), training=False,
+                              temperature=cb.temp_start)
+    np.testing.assert_allclose(np.asarray(got.x), res["x"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(got.code_perplexity),
+                               float(res["code_perplexity"]), rtol=1e-4)
+    np.testing.assert_allclose(float(got.prob_perplexity),
+                               float(res["prob_perplexity"]), rtol=1e-4)
+    assert got.num_vars == res["num_vars"]
+
+
+def test_align_text_ppg_and_loss_match_reference(ref, rng):
+    from f5e_tts_tpu.config import CodebookConfig, PPGConfig
+    from f5e_tts_tpu.models.dit import _align_text_ppg, _calc_align_loss
+
+    dim, vocab = 32, 20
+    cb = CodebookConfig(use_codebook=True, num_vars=12, groups=2,
+                        combine_groups=False, weight_proj_depth=1,
+                        weight_proj_factor=1, use_align_loss=True,
+                        align_loss_weight=0.7)
+    m = ref.dit.DiT(
+        dim=64, depth=1, heads=2, dim_head=32, dropout=0.0, ff_mult=2,
+        mel_dim=10, text_num_embeds=vocab, text_dim=dim, conv_layers=0,
+        ppg_config=dict(use_ppg=True, ppg_dim=16, use_transformer=False,
+                        transformer_config={}, use_cross_mask=False),
+        cb_config=dict(use_codebook=True, num_vars=cb.num_vars,
+                       temp_start=cb.temp_start, temp_stop=cb.temp_stop,
+                       temp_decay=cb.temp_decay, groups=cb.groups,
+                       combine_groups=cb.combine_groups,
+                       weight_proj_depth=cb.weight_proj_depth,
+                       weight_proj_factor=cb.weight_proj_factor,
+                       use_align_loss=True,
+                       align_loss_config=dict(align_loss_weight=cb.align_loss_weight)),
+    )
+    m.eval()
+    params, q = _make_quantizer_pair(ref, cb, dim)
+    m.quantizer = q  # swap in the weight-shared quantizer
+
+    b, n = 2, 16
+    text_embed = rng.standard_normal((b, n, dim)).astype(np.float32)
+    ppg_embed = rng.standard_normal((b, n, dim)).astype(np.float32)
+    text_len = np.asarray([10, 7], np.int64)
+    ppg_len = np.asarray([16, 12], np.int64)
+
+    with torch.no_grad():
+        attn_ref = m.align_text_ppg(torch.from_numpy(text_embed),
+                                    torch.from_numpy(text_len.copy()),
+                                    torch.from_numpy(ppg_embed),
+                                    torch.from_numpy(ppg_len.copy()))
+        loss_ref = m.calc_align_loss(attn_ref, torch.from_numpy(text_embed),
+                                     torch.from_numpy(text_len.copy()),
+                                     torch.from_numpy(ppg_embed))
+
+    attn = _align_text_ppg(jnp.asarray(text_embed), jnp.asarray(text_len),
+                           jnp.asarray(ppg_embed), jnp.asarray(ppg_len))
+    np.testing.assert_array_equal(np.asarray(attn), attn_ref.numpy())
+
+    loss = _calc_align_loss({"quantizer": jax.tree.map(jnp.asarray, params)}, cb,
+                            attn, jnp.asarray(text_embed), jnp.asarray(text_len),
+                            jnp.asarray(ppg_embed), cb.temp_start, False,
+                            (jax.random.PRNGKey(0), jax.random.PRNGKey(1)))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
