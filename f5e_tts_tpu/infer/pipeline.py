@@ -198,6 +198,22 @@ class TTSEngine:
     # equivalent, reference run.sh stage "build engine")
     engine_dir: Optional[str] = None
     _aot_cache: dict = field(default_factory=dict, repr=False)
+    # dynamic batcher (serving/batcher.py); attach via enable_batching().
+    # Concurrent infer() calls then coalesce chunks into one folded sampler
+    # call (Triton dynamic_batching equivalent, config.pbtxt:15-18).
+    batcher: Optional[object] = None
+
+    def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,
+                        nfe_steps: Optional[int] = None):
+        """Attach a DynamicBatcher. infer() chunks at the batcher's exact
+        sampler configuration (nfe + default cfg/sway, plain-CFG mode) route
+        through it; anything else falls back to the direct jit path."""
+        from f5e_tts_tpu.serving.batcher import DynamicBatcher
+
+        self.batcher = DynamicBatcher(self, max_batch=max_batch,
+                                      window_ms=window_ms, nfe_steps=nfe_steps,
+                                      text_pad_to=self.text_pad_to)
+        return self.batcher
 
     def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int):
         """Exported-sampler lookup; None when absent or text doesn't fit."""
@@ -356,18 +372,36 @@ class TTSEngine:
         max_chars = max(max_chars, 10)
         chunks = chunk_text(gen_text, max_chars=max_chars)
 
+        # chunks are batchable when the effective sampler config equals the
+        # batcher's compiled configuration (plain CFG at defaults)
+        eff_nfe = nfe_steps if nfe_steps is not None else icfg.nfe_steps
+        use_batcher = (
+            self.batcher is not None
+            and eff_nfe == self.batcher.nfe
+            and (cfg_strength is None or cfg_strength == self.batcher.cfg_strength)
+            and (sway is None or sway == self.batcher.sway)
+        )
+
         def gen():
             for i, chunk in enumerate(chunks):
                 duration = estimate_duration(ref_audio_len, ref_text, chunk, speed,
                                              fix_duration, self.mel.target_sample_rate,
                                              self.mel.hop_length)
-                mel_gen = self.synthesize_chunk(
-                    ref_mel, ref_text + chunk, duration, seed=seed + i,
-                    nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway)
-                if self.vocoder_decode is not None:
-                    wav = np.asarray(self.vocoder_decode(jnp.asarray(mel_gen[None])))[0]
+                if use_batcher:
+                    ids = self.tokenize([ref_text + chunk])[0]
+                    ids = ids[ids >= 0] if (ids < 0).any() else ids
+                    fut = self.batcher.submit(ref_mel[0], np.asarray(ids),
+                                              min(duration, icfg.max_duration),
+                                              seed=seed + i)
+                    wav, mel_gen = fut.result()
                 else:
-                    wav = np.zeros(mel_gen.shape[0] * self.mel.hop_length, np.float32)
+                    mel_gen = self.synthesize_chunk(
+                        ref_mel, ref_text + chunk, duration, seed=seed + i,
+                        nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway)
+                    if self.vocoder_decode is not None:
+                        wav = np.asarray(self.vocoder_decode(jnp.asarray(mel_gen[None])))[0]
+                    else:
+                        wav = np.zeros(mel_gen.shape[0] * self.mel.hop_length, np.float32)
                 if 0 < orig_rms < icfg.target_rms:
                     wav = wav * orig_rms / icfg.target_rms
                 yield wav, mel_gen

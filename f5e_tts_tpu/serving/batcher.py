@@ -47,6 +47,9 @@ class DynamicBatcher:
         self.text_pad_to = text_pad_to
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
+        # observability: size of every processed batch (tests + benchmark
+        # assert co-batching actually happens under concurrency)
+        self.batch_sizes: List[int] = []
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
 
@@ -94,6 +97,7 @@ class DynamicBatcher:
                         r.future.set_exception(e)
 
     def _process(self, batch: List[_Request]):
+        self.batch_sizes.append(len(batch))
         eng = self.engine
         mel_dim = eng.mel.n_mel_channels
         b = self.max_batch  # fixed batch -> one compile per bucket

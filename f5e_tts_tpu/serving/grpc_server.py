@@ -14,7 +14,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import threading
 from concurrent import futures
 
 import numpy as np
@@ -23,11 +22,16 @@ SERVICE = "f5e_tts.TTS"
 
 
 class GrpcTTS:
-    """Request handling around a warm TTSStreamingProcessor."""
+    """Request handling around a warm TTSStreamingProcessor.
+
+    No global lock: concurrent requests run in the gRPC thread pool and
+    coalesce inside the engine's DynamicBatcher (one folded sampler call per
+    window, Triton dynamic_batching equivalent). Without a batcher attached,
+    JAX serializes chip work at dispatch anyway — the lock added nothing but
+    head-of-line blocking for the vocoder/tokenizer host work."""
 
     def __init__(self, processor):
         self.processor = processor  # serving.socket_server.TTSStreamingProcessor
-        self.lock = threading.Lock()
 
     def _ref(self, request):
         if len(request.ref_pcm_f32):
@@ -46,15 +50,14 @@ class GrpcTTS:
         nfe = request.nfe_steps or self.processor.nfe_steps
         speed = request.speed or 1.0
         out_sr = self.processor.engine.mel.target_sample_rate
-        with self.lock:  # one synthesis on the chip at a time
-            stream = self.processor.engine.infer(
-                ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed,
-                streaming=True, chunk_size=self.processor.chunk_size)
-            for chunk, _sr in stream:
-                if len(chunk):
-                    yield tts_pb2.AudioChunk(
-                        pcm_f32=np.asarray(chunk, np.float32).tobytes(),
-                        sample_rate=out_sr, is_final=False)
+        stream = self.processor.engine.infer(
+            ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed,
+            streaming=True, chunk_size=self.processor.chunk_size)
+        for chunk, _sr in stream:
+            if len(chunk):
+                yield tts_pb2.AudioChunk(
+                    pcm_f32=np.asarray(chunk, np.float32).tobytes(),
+                    sample_rate=out_sr, is_final=False)
         yield tts_pb2.AudioChunk(pcm_f32=b"", sample_rate=out_sr, is_final=True)
 
     def synthesize_offline(self, request, context):
@@ -63,9 +66,8 @@ class GrpcTTS:
         ref, sr, ref_text = self._ref(request)
         nfe = request.nfe_steps or self.processor.nfe_steps
         speed = request.speed or 1.0
-        with self.lock:
-            wav, out_sr, _mel = self.processor.engine.infer(
-                ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed)
+        wav, out_sr, _mel = self.processor.engine.infer(
+            ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed)
         return tts_pb2.AudioChunk(pcm_f32=np.asarray(wav, np.float32).tobytes(),
                                   sample_rate=out_sr, is_final=True)
 
@@ -116,6 +118,9 @@ def main(argv=None):
     p.add_argument("--engine_dir", default=None,
                    help="jax.export engine files (utils/aot.py) — buckets found "
                         "here load instead of JIT-compiling at startup")
+    p.add_argument("--max_batch", type=int, default=4,
+                   help="dynamic-batching max batch (0 disables the batcher)")
+    p.add_argument("--batch_window_ms", type=float, default=20.0)
     args = p.parse_args(argv)
 
     tts = F5TTS(model=args.model, config_file=args.config_file,
@@ -123,6 +128,11 @@ def main(argv=None):
                 vocoder_local_path=args.vocoder_local_path,
                 engine_dir=args.engine_dir)
     wav, sr = read_wav(args.ref_audio)
+    if args.max_batch > 0:
+        # attach before warm-up so the (max_batch, bucket) shapes compile
+        tts.engine.enable_batching(max_batch=args.max_batch,
+                                   window_ms=args.batch_window_ms,
+                                   nfe_steps=args.nfe_step)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step,
                                       warm_up=not args.no_warmup)

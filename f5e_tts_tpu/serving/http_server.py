@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import io
 import json
-import threading
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -34,24 +33,35 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
 
 def warm_up_buckets(engine, ref_mel: np.ndarray, ref_text: str, nfe: int,
                     buckets=None):
-    """Compile the sampler for every duration bucket (AOT ladder)."""
+    """Compile the sampler for every duration bucket (AOT ladder).
+
+    When a DynamicBatcher is attached the (max_batch, bucket) shapes it
+    serves with are warmed through it; otherwise the direct batch-1 path."""
     buckets = buckets or engine.buckets
     ref_frames = ref_mel.shape[1]
     for bucket in buckets:
         if bucket <= ref_frames:
             continue
-        engine.synthesize_chunk(ref_mel, ref_text + " warm up.",
-                                min(bucket, engine.infer_cfg.max_duration),
-                                nfe_steps=nfe, seed=0)
+        duration = min(bucket, engine.infer_cfg.max_duration)
+        if engine.batcher is not None and nfe == engine.batcher.nfe:
+            ids = engine.tokenize([ref_text + " warm up."])[0]
+            engine.batcher.submit(ref_mel[0], np.asarray(ids[ids >= 0]),
+                                  duration, seed=0).result()
+        else:
+            engine.synthesize_chunk(ref_mel, ref_text + " warm up.", duration,
+                                    nfe_steps=nfe, seed=0)
 
 
 class TTSHandler(BaseHTTPRequestHandler):
+    """Handlers run concurrently (ThreadingHTTPServer); no global lock —
+    concurrent /tts requests coalesce in the engine's DynamicBatcher when one
+    is attached (Triton dynamic_batching equivalent)."""
+
     engine = None
     ref_audio = None
     ref_sr = None
     ref_text = ""
     nfe = 32
-    lock = threading.Lock()
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -75,10 +85,9 @@ class TTSHandler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(length) or b"{}")
             text = req["text"]
             nfe = int(req.get("nfe", self.nfe))
-            with self.lock:
-                out, sr, _ = self.engine.infer(
-                    self.ref_audio, self.ref_sr, self.ref_text, text, nfe_steps=nfe,
-                    seed=int(req.get("seed", 0)))
+            out, sr, _ = self.engine.infer(
+                self.ref_audio, self.ref_sr, self.ref_text, text, nfe_steps=nfe,
+                seed=int(req.get("seed", 0)))
             body = wav_bytes(out, sr)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -95,7 +104,10 @@ class TTSHandler(BaseHTTPRequestHandler):
 
 
 def serve(engine, ref_audio, ref_sr, ref_text, host="0.0.0.0", port=8000, nfe=32,
-          warm=True):
+          warm=True, max_batch: int = 4, batch_window_ms: float = 20.0):
+    if max_batch > 0 and engine.batcher is None:
+        engine.enable_batching(max_batch=max_batch, window_ms=batch_window_ms,
+                               nfe_steps=nfe)
     if warm:
         import jax.numpy as jnp
 
@@ -128,12 +140,16 @@ def main(argv=None):
     p.add_argument("--ref_text", default="")
     p.add_argument("--nfe", type=int, default=32)
     p.add_argument("--no_warm", action="store_true")
+    p.add_argument("--max_batch", type=int, default=4,
+                   help="dynamic-batching max batch (0 disables the batcher)")
+    p.add_argument("--batch_window_ms", type=float, default=20.0)
     args = p.parse_args(argv)
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
                 vocoder_local_path=args.vocoder_local_path)
     wav, sr = read_wav(args.ref_audio)
     serve(tts.engine, wav, sr, args.ref_text, args.host, args.port, args.nfe,
-          warm=not args.no_warm)
+          warm=not args.no_warm, max_batch=args.max_batch,
+          batch_window_ms=args.batch_window_ms)
 
 
 if __name__ == "__main__":

@@ -62,7 +62,6 @@ class TTSStreamingProcessor:
         self.ref_text = ref_text
         self.chunk_size = chunk_size
         self.nfe_steps = nfe_steps
-        self.lock = threading.Lock()
         if warm_up:
             self._warm_up()
 
@@ -86,15 +85,17 @@ class TTSStreamingProcessor:
                         self.nfe_steps or self.engine.infer_cfg.nfe_steps)
 
     def generate_stream(self, text: str, send):
-        """Synthesize `text`, calling send(bytes) per float32 chunk + END."""
-        with self.lock:
-            stream = self.engine.infer(self.ref_audio, self.ref_sr, self.ref_text,
-                                       text, nfe_steps=self.nfe_steps, streaming=True,
-                                       chunk_size=self.chunk_size)
-            for chunk, _sr in stream:
-                if len(chunk):
-                    send(np.asarray(chunk, np.float32).tobytes())
-            send(b"END")
+        """Synthesize `text`, calling send(bytes) per float32 chunk + END.
+
+        No cross-connection lock: concurrent connections coalesce in the
+        engine's DynamicBatcher when one is attached."""
+        stream = self.engine.infer(self.ref_audio, self.ref_sr, self.ref_text,
+                                   text, nfe_steps=self.nfe_steps, streaming=True,
+                                   chunk_size=self.chunk_size)
+        for chunk, _sr in stream:
+            if len(chunk):
+                send(np.asarray(chunk, np.float32).tobytes())
+        send(b"END")
 
 
 def handle_client(conn: socket.socket, processor: TTSStreamingProcessor):

@@ -116,3 +116,68 @@ def test_batcher_per_request_seed_invariance(engine, rng):
 
     np.testing.assert_array_equal(mel_alone, mel_cobatched)
     assert not np.array_equal(mel_b[: mel_alone.shape[0]], mel_alone)
+
+
+def _mk_engine():
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), ARCH, len(VOCAB))
+    return TTSEngine(params=params, state=state, arch=ARCH, vocab=VOCAB, mel=MEL,
+                     cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=2, max_duration=512),
+                     tokenizer="char",
+                     vocoder_decode=lambda m: np.asarray(m, np.float32).mean(-1).repeat(64, -1),
+                     compute_dtype=jnp.float32, buckets=(128, 256))
+
+
+def test_infer_through_batcher_matches_direct(rng):
+    """engine.infer with a DynamicBatcher attached returns the same audio as
+    the unbatched path (batch invariance through the serving wire)."""
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+
+    direct = _mk_engine()
+    wav_d, sr_d, mel_d = direct.infer(ref, sr, "abc def", "gh abc", seed=3)
+
+    batched = _mk_engine()
+    batched.enable_batching(max_batch=4, window_ms=10)
+    wav_b, sr_b, mel_b = batched.infer(ref, sr, "abc def", "gh abc", seed=3)
+    batched.batcher.stop()
+
+    assert sr_d == sr_b
+    assert batched.batcher.batch_sizes, "request never went through the batcher"
+    np.testing.assert_allclose(mel_b, mel_d, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(wav_b, wav_d, rtol=1e-4, atol=1e-5)
+
+    # non-default nfe falls back to the direct path (batcher untouched)
+    n_batches = len(batched.batcher.batch_sizes)
+    batched.infer(ref, sr, "abc def", "gh", seed=1, nfe_steps=4)
+    assert len(batched.batcher.batch_sizes) == n_batches
+
+
+def test_concurrent_requests_fold_into_one_batch(rng):
+    """Two concurrent infer() calls land in ONE folded sampler batch
+    (VERDICT #2: Triton dynamic_batching equivalent, config.pbtxt:15-18)."""
+    import threading
+
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    eng = _mk_engine()
+    # long window so both requests comfortably join the same batch
+    eng.enable_batching(max_batch=4, window_ms=500)
+    # pre-compile so neither request stalls on XLA while the other waits
+    eng.infer(ref, sr, "abc def", "gh", seed=0)
+    eng.batcher.batch_sizes.clear()
+
+    results = {}
+
+    def run(tag, text, seed):
+        results[tag] = eng.infer(ref, sr, "abc def", text, seed=seed)
+
+    t1 = threading.Thread(target=run, args=("a", "gh abc", 3))
+    t2 = threading.Thread(target=run, args=("b", "cba hg", 7))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    eng.batcher.stop()
+
+    assert 2 in eng.batcher.batch_sizes, eng.batcher.batch_sizes
+    # co-batched result identical to a solo run with the same seed
+    solo = _mk_engine()
+    wav_solo, _, _ = solo.infer(ref, sr, "abc def", "gh abc", seed=3)
+    np.testing.assert_allclose(results["a"][0], wav_solo, rtol=1e-4, atol=1e-5)
