@@ -45,7 +45,20 @@ def main(argv=None):
     pw.add_argument("--gen_dir", required=True)
     pw.add_argument("--metalst", required=True)
     pw.add_argument("--lang", default="en", choices=["en", "zh"])
-    pw.add_argument("--asr_model", required=True, help="local whisper weights dir")
+    pw.add_argument("--asr_model", default="",
+                    help="local ASR weights dir (paraformer-zh parent for zh, "
+                         "whisper dir/size for en)")
+    pw.add_argument("--backend", default=None,
+                    choices=[None, "funasr", "faster_whisper", "hf_whisper"],
+                    help="default: funasr for zh, faster_whisper for en "
+                         "(utils_eval.py:472-488)")
+    pw.add_argument("--mode", default="whisper_v3", choices=["seedtts", "whisper_v3"],
+                    help="normalization pipeline: run_asr_wer vs "
+                         "run_asr_wer_whisper_large_v3")
+    pw.add_argument("--workers", type=int, default=1,
+                    help="parallel scoring workers, one ASR model each "
+                         "(eval_seedtts_testset.py:60-67)")
+    pw.add_argument("--device", default="cpu")
     ps = sub.add_parser("sim")
     ps.add_argument("--gen_dir", required=True)
     ps.add_argument("--metalst", required=True)
@@ -56,12 +69,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.metric == "wer":
-        transcribe = fs.load_whisper_asr(args.asr_model, args.lang)
         meta_pairs = _pairs_from_meta(args.metalst, args.gen_dir, "wer")
-        scored = [(utt, ref_text, transcribe(gen_wav))
-                  for utt, ref_text, gen_wav in meta_pairs]
-        out = fs.score_wer(scored, lang=args.lang,
-                           results_path=os.path.join(args.gen_dir, "_wer_results.jsonl"))
+        # (gen_wav, prompt_wav, truth) triplets, reference test-set layout
+        test_set = [(gen_wav, "", ref_text) for _utt, ref_text, gen_wav in meta_pairs]
+        import functools
+
+        make = functools.partial(_make_transcriber, backend=args.backend,
+                                 ckpt_dir=args.asr_model, device=args.device)
+        rows = fs.run_asr_wer_parallel(test_set, make, lang=args.lang,
+                                       mode=args.mode, n_jobs=args.workers)
+        mean = fs.write_results_jsonl(
+            rows, "wer", os.path.join(args.gen_dir, "_wer_results.jsonl"))
+        out = {"wer": mean, "n": len(rows)}
     elif args.metric == "sim":
         embed = _load_speaker_embedder(args.embedder)
         pairs = _pairs_from_meta(args.metalst, args.gen_dir, "sim")
@@ -74,6 +93,16 @@ def main(argv=None):
                              results_path=os.path.join(args.gen_dir, "_utmos_results.jsonl"))
     print(json.dumps(out))
     return out
+
+
+def _make_transcriber(rank: int, lang: str, *, backend=None, ckpt_dir="",
+                      device="cpu"):
+    """Per-worker ASR factory (picklable; one model per mp.Pool worker,
+    mirroring the per-GPU model in eval_seedtts_testset.py:60-67)."""
+    from f5e_tts_tpu.eval import scorers as fs
+
+    return fs.load_asr_backend(lang, backend=backend, ckpt_dir=ckpt_dir,
+                               device=device)
 
 
 def _load_speaker_embedder(path: str):

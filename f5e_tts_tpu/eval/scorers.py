@@ -49,34 +49,156 @@ def wer(ref_words: Sequence[str], hyp_words: Sequence[str]) -> float:
 
 _PUNC_TABLE = str.maketrans("", "", string.punctuation + "。，、？！：；“”‘’（）—")
 
-_NUM_WORDS = {
-    0: "zero", 1: "one", 2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
-    7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven", 12: "twelve",
-    13: "thirteen", 14: "fourteen", 15: "fifteen", 16: "sixteen", 17: "seventeen",
-    18: "eighteen", 19: "nineteen", 20: "twenty", 30: "thirty", 40: "forty",
-    50: "fifty", 60: "sixty", 70: "seventy", 80: "eighty", 90: "ninety",
-}
+# zhon.hanzi.punctuation, vendored (zhon is not installed offline). The
+# reference strips `zhon.hanzi.punctuation + string.punctuation` before
+# seed-tts WER (utils_eval.py:509-511). non_stops + stops per zhon's docs.
+ZH_PUNCTUATION = (
+    "＂＃＄％＆＇（）＊＋，－"
+    "／：；＜＝＞＠［＼］＾＿"
+    "｀｛｜｝～｟｠"
+    "｢｣､"
+    "　、〃"
+    "〈〉《》「」『』【】"
+    "〔〕〖〗〘〙〚〛〜〝〞〟"
+    "〰"
+    "〾〿"
+    "–—"
+    "‘’‛“”„‟"
+    "…‧"
+    "﹏"
+    "﹑﹔"
+    "·"
+    "！？｡。"
+)
+
+_UNITS = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+          "eight", "nine"]
+_TEENS = ["ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+          "sixteen", "seventeen", "eighteen", "nineteen"]
+_TENS = ["", "ten", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
 
 
 def number_to_words(n: int) -> str:
-    """Small-number verbalization (reference normalizes digits before WER,
-    utils_eval.py:566-627)."""
-    if n < 0:
-        return "minus " + number_to_words(-n)
-    if n in _NUM_WORDS:
-        return _NUM_WORDS[n]
-    if n < 100:
-        return _NUM_WORDS[n // 10 * 10] + " " + _NUM_WORDS[n % 10]
-    if n < 1000:
-        rest = n % 100
-        head = _NUM_WORDS[n // 100] + " hundred"
-        return head if rest == 0 else head + " " + number_to_words(rest)
-    for unit, name in ((10**9, "billion"), (10**6, "million"), (10**3, "thousand")):
-        if n >= unit:
-            head = number_to_words(n // unit) + " " + name
-            rest = n % unit
-            return head if rest == 0 else head + " " + number_to_words(rest)
-    return str(n)
+    """Digit verbalization with the reference's EXACT output conventions
+    ("and" before sub-hundred remainders of thousands/hundreds), so WER
+    normalization is token-for-token comparable. reference:
+    utils_eval.py:566-603 (oracle-parity-tested)."""
+    if n == 0:
+        return _UNITS[0]
+    words = []
+    if n >= 1_000_000:
+        words.append(number_to_words(n // 1_000_000) + " million")
+        n %= 1_000_000
+    if n >= 1000:
+        words.append(number_to_words(n // 1000) + " thousand")
+        n %= 1000
+        if 0 < n < 100:
+            words.append("and")
+    if n >= 100:
+        words.append(_UNITS[n // 100] + " hundred")
+        n %= 100
+        if n > 0:
+            words.append("and")
+    if n >= 20:
+        words.append(_TENS[n // 10])
+        n %= 10
+    elif 10 <= n < 20:
+        words.append(_TEENS[n - 10])
+        n = 0
+    if n > 0:
+        words.append(_UNITS[n])
+    return " ".join(words).replace(" and zero", "").replace("  ", " ")
+
+
+def replace_mixed_numbers(text: str) -> str:
+    """Verbalize digit runs inside mixed text (utils_eval.py:605-617)."""
+    parts = re.findall(r"\d+|\D+", text)
+    converted = [number_to_words(int(p)) if p.isdigit() else p for p in parts]
+    return re.sub(r"\s+", " ", " ".join(converted)).strip()
+
+
+def replace_special(text: str) -> str:
+    """Reference's ad-hoc token fixes (utils_eval.py:619-628). The 18th/19th
+    replacement is unconditional there (`if "18th" or "19th" in text` is
+    always truthy) — behavior kept."""
+    if "$" in text:
+        text = text.replace("$", "")
+        text += "dollars"
+    text = text.replace("supercomputer", "super computer")
+    text = text.replace("18th", "eighteenth").replace("19th", "nineteenth")
+    return text
+
+
+# ---------------------------------------------------------------------------
+# jiwer-default-equivalent measures (strings in, rates out)
+# ---------------------------------------------------------------------------
+
+
+def _jiwer_words(s: str) -> List[str]:
+    # jiwer wer_default: RemoveMultipleSpaces + Strip + split on space
+    return [w for w in re.sub(r"\s+", " ", s).strip().split(" ") if w]
+
+
+def jiwer_wer(truth: str, hypothesis: str) -> float:
+    """jiwer.compute_measures(...)["wer"] semantics."""
+    return wer(_jiwer_words(truth), _jiwer_words(hypothesis))
+
+
+def jiwer_cer(truth: str, hypothesis: str) -> float:
+    """jiwer.cer semantics (char-level over the stripped strings)."""
+    r, h = list(truth.strip()), list(hypothesis.strip())
+    if not r:
+        return 0.0 if not h else 1.0
+    return edit_distance(r, h) / len(r)
+
+
+# ---------------------------------------------------------------------------
+# the two reference WER normalization pipelines
+# ---------------------------------------------------------------------------
+
+
+def normalize_seedtts(truth: str, hypo: str, lang: str) -> Tuple[str, str]:
+    """run_asr_wer's inline normalization (utils_eval.py:509-543): strip
+    zh+ascii punctuation, single double-space collapse, zh char-split /
+    en lowercase."""
+    for x in ZH_PUNCTUATION + string.punctuation:
+        truth = truth.replace(x, "")
+        hypo = hypo.replace(x, "")
+    truth = truth.replace("  ", " ")
+    hypo = hypo.replace("  ", " ")
+    if lang == "zh":
+        truth = " ".join(truth)
+        hypo = " ".join(hypo)
+    elif lang == "en":
+        truth = truth.lower()
+        hypo = hypo.lower()
+    return truth, hypo
+
+
+def normalize_whisper_v3(truth: str, hypo: str, lang: str) -> Tuple[str, str]:
+    """run_asr_wer_whisper_large_v3's inline normalization
+    (utils_eval.py:676-697): ascii punctuation only, apostrophe variants,
+    hyphen->space + non-word strip on the hypothesis, digit verbalization +
+    special-token fixes on the hypothesis only."""
+    for x in string.punctuation:
+        truth = truth.replace(x, "")
+        hypo = hypo.replace(x, "")
+    truth = truth.replace("’", "")
+    hypo = hypo.replace("’", "")
+    truth = truth.replace("  ", " ")
+    hypo = hypo.replace("  ", " ")
+    hypo = hypo.replace("-", " ")
+    hypo = re.sub(r"[^\w\s\']", "", hypo)
+    if lang == "zh":
+        truth = " ".join(truth)
+        hypo = " ".join(hypo)
+    elif lang == "en":
+        truth = truth.lower()
+        hypo = hypo.lower()
+    hypo = replace_mixed_numbers(hypo)
+    hypo = replace_special(hypo)
+    return truth, hypo
 
 
 def normalize_text_en(text: str) -> List[str]:
@@ -153,8 +275,148 @@ def score_sim(
 
 
 # ---------------------------------------------------------------------------
+# per-utterance ASR-WER runner + parallel scoring (reference:
+# run_asr_wer/run_asr_wer_whisper_large_v3 + mp.Pool in
+# eval_seedtts_testset.py:60-75)
+# ---------------------------------------------------------------------------
+
+
+def run_asr_wer_pairs(
+    test_set: Sequence[Tuple[str, str, str]],  # (gen_wav, prompt_wav, truth)
+    transcribe: Callable[[str], str],
+    lang: str = "en",
+    mode: str = "whisper_v3",  # "seedtts" (run_asr_wer) | "whisper_v3"
+) -> List[Dict]:
+    """Transcribe + normalize + per-utt WER rows, reference-exact.
+
+    reference: utils_eval.py:494-560 (seedtts mode) and :634-708
+    (whisper_v3 mode, which also reports CER)."""
+    rows = []
+    for gen_wav, _prompt_wav, truth in test_set:
+        hypo = transcribe(gen_wav)
+        raw_truth, raw_hypo = truth, hypo
+        if mode == "seedtts":
+            t, h = normalize_seedtts(truth, hypo, lang)
+            row = {"wav": os.path.splitext(os.path.basename(gen_wav))[0],
+                   "truth": raw_truth, "hypo": raw_hypo, "wer": jiwer_wer(t, h)}
+        else:
+            t, h = normalize_whisper_v3(truth, hypo, lang)
+            row = {"wav": os.path.splitext(os.path.basename(gen_wav))[0],
+                   "truth": raw_truth, "hypo": raw_hypo,
+                   "wer": jiwer_wer(t, h), "cer": jiwer_cer(t, h)}
+        rows.append(row)
+    return rows
+
+
+def split_test_set(test_set: Sequence, n_jobs: int) -> List[Tuple[int, List]]:
+    """Contiguous equal splits, reference semantics (utils_eval.py:455-466:
+    wav_per_job = len // n + 1)."""
+    per = len(test_set) // n_jobs + 1
+    return [(i, list(test_set[i * per : (i + 1) * per])) for i in range(n_jobs)]
+
+
+def _wer_worker(args):
+    rank, sub_set, lang, mode, make_transcriber = args
+    transcribe = make_transcriber(rank, lang)
+    return run_asr_wer_pairs(sub_set, transcribe, lang=lang, mode=mode)
+
+
+def run_asr_wer_parallel(
+    test_set: Sequence[Tuple[str, str, str]],
+    make_transcriber: Callable[[int, str], Callable[[str], str]],
+    lang: str = "en",
+    mode: str = "whisper_v3",
+    n_jobs: int = 1,
+) -> List[Dict]:
+    """mp.Pool scoring, one ASR model per worker (eval_seedtts_testset.py:60-67).
+
+    make_transcriber(rank, lang) -> transcribe(path) must be picklable (a
+    module-level function / functools.partial of one)."""
+    splits = split_test_set(test_set, n_jobs)
+    job_args = [(rank, sub, lang, mode, make_transcriber) for rank, sub in splits]
+    if n_jobs == 1:
+        results = [_wer_worker(job_args[0])]
+    else:
+        import multiprocessing as mp
+
+        with mp.Pool(processes=n_jobs) as pool:
+            results = pool.map(_wer_worker, job_args)
+    full: List[Dict] = []
+    for r in results:
+        full.extend(r)
+    return full
+
+
+def write_results_jsonl(rows: List[Dict], metric: str, path: str) -> float:
+    """Per-utt jsonl + trailing mean line (eval_seedtts_testset.py:76-85:
+    the headline number is the MEAN OF PER-UTTERANCE rates, rounded to 5)."""
+    vals = []
+    with open(path, "w", encoding="utf-8") as f:
+        for row in rows:
+            vals.append(row[metric])
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+        mean = round(float(np.mean(vals)), 5) if vals else 0.0
+        f.write(f"\n{metric.upper()}: {mean}\n")
+    return mean
+
+
+# ---------------------------------------------------------------------------
 # external model loaders (gated — weights must be local)
 # ---------------------------------------------------------------------------
+
+
+def load_asr_backend(lang: str, backend: Optional[str] = None, ckpt_dir: str = "",
+                     device: str = "cpu") -> Callable[[str], str]:
+    """ASR transcriber factory matching load_asr_model (utils_eval.py:472-488).
+
+    lang=zh -> funasr Paraformer (+ zhconv to simplified); lang=en ->
+    faster-whisper large-v3 by default, or backend="hf_whisper" for the
+    transformers pipeline. All imports/weights gated with clear errors."""
+    if backend is None:
+        backend = "funasr" if lang == "zh" else "faster_whisper"
+
+    if backend == "funasr":
+        try:
+            from funasr import AutoModel
+            import zhconv
+        except ImportError as e:
+            raise RuntimeError(
+                "zh WER scoring needs the funasr + zhconv packages and local "
+                "paraformer-zh weights (reference utils_eval.py:472-481)") from e
+        model = AutoModel(model=os.path.join(ckpt_dir, "paraformer-zh"),
+                          disable_update=True)
+
+        def transcribe(path: str) -> str:
+            res = model.generate(input=path, batch_size_s=300, disable_pbar=True)
+            return zhconv.convert(res[0]["text"], "zh-cn")
+
+        return transcribe
+
+    if backend == "faster_whisper":
+        try:
+            from faster_whisper import WhisperModel
+        except ImportError as e:
+            raise RuntimeError(
+                "en WER scoring via faster-whisper needs the faster_whisper "
+                "package (reference utils_eval.py:483-487); use "
+                "backend='hf_whisper' for the transformers path") from e
+        model_size = ckpt_dir if ckpt_dir else "large-v3"
+        compute = "float16" if device == "cuda" else "int8"
+        model = WhisperModel(model_size, device=device, compute_type=compute)
+
+        def transcribe(path: str) -> str:
+            segments, _info = model.transcribe(path, beam_size=5, language="en")
+            hypo = ""
+            for segment in segments:
+                hypo = hypo + " " + segment.text
+            return hypo
+
+        return transcribe
+
+    if backend == "hf_whisper":
+        return load_whisper_asr(ckpt_dir, lang=lang)
+
+    raise ValueError(f"unknown ASR backend {backend!r}")
 
 
 def load_whisper_asr(model_path: str, lang: str = "en") -> Callable[[str], str]:

@@ -47,6 +47,7 @@ def load():
     _stub_pkg("f5_tts", f"{REF_SRC}/f5_tts")
     _stub_pkg("f5_tts.model", f"{REF_SRC}/f5_tts/model")
     _stub_pkg("f5_tts.model.backbones", f"{REF_SRC}/f5_tts/model/backbones")
+    _stub_pkg("f5_tts.eval", f"{REF_SRC}/f5_tts/eval")
     # f5_tts.durpred's real __init__ is safe (torch/einops/numpy + numba shim).
 
     _ns = types.SimpleNamespace(
@@ -58,5 +59,6 @@ def load():
         cfm=importlib.import_module("f5_tts.model.cfm"),
         durpred=importlib.import_module("f5_tts.durpred"),
         monotonic_align=importlib.import_module("f5_tts.durpred.monotonic_align"),
+        utils_eval=importlib.import_module("f5_tts.eval.utils_eval"),
     )
     return _ns

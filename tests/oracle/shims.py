@@ -313,7 +313,12 @@ def _lazy_pinyin(seg, style=None, tone_sandhi=False, **kwargs):
 
 
 def _module(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec (e.g. transformers'
+    # availability probes) doesn't choke on the shim
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

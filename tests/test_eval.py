@@ -27,10 +27,12 @@ def test_edit_distance_and_wer():
 
 
 def test_number_to_words():
+    # reference-exact conventions (utils_eval.py:566-603, oracle-parity-locked
+    # in tests/test_wer_stack.py): "and" before sub-hundred remainders
     assert fs.number_to_words(0) == "zero"
     assert fs.number_to_words(21) == "twenty one"
-    assert fs.number_to_words(105) == "one hundred five"
-    assert fs.number_to_words(1234) == "one thousand two hundred thirty four"
+    assert fs.number_to_words(105) == "one hundred and five"
+    assert fs.number_to_words(1234) == "one thousand two hundred and thirty four"
 
 
 def test_normalize_text():
