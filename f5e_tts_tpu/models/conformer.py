@@ -36,8 +36,41 @@ class ConformerConfig:
     linear_units: int = 2048
     num_blocks: int = 12
     cnn_module_kernel: int = 15
-    subsampling: str = "conv2d2"  # conv2d2 (1/2) | conv2d (1/4)
+    # wenet input_layer (encoder.py:103-114, fork naming): "linear" (1/1),
+    # "conv2d" (1/2 in THIS fork — Conv2dSubsampling2), "conv2d4" (1/4),
+    # "conv2d6" (1/6), "conv2d8" (1/8). "conv2d2" accepted as an alias of
+    # "conv2d". Unknown names fail loudly at ingest/encode time.
+    subsampling: str = "conv2d"
     max_pos: int = 5000
+
+
+# (kernel, stride) per conv stage + which torch attr holds the output linear
+# (subsampling.py: Conv2dSubsampling{2,4} use .out, {6,8} use .linear)
+_SUBSAMPLING = {
+    "linear": dict(convs=[], out_attr="out"),
+    "conv2d": dict(convs=[(3, 2)], out_attr="out"),
+    "conv2d2": dict(convs=[(3, 2)], out_attr="out"),
+    "conv2d4": dict(convs=[(3, 2), (3, 2)], out_attr="out"),
+    "conv2d6": dict(convs=[(3, 2), (5, 3)], out_attr="linear"),
+    "conv2d8": dict(convs=[(3, 2), (3, 2), (3, 2)], out_attr="linear"),
+}
+
+
+def subsampling_spec(name: str) -> dict:
+    if name not in _SUBSAMPLING:
+        raise ValueError(
+            f"unsupported subsampling/input_layer {name!r}; supported: "
+            f"{sorted(_SUBSAMPLING)} (reference subsampling.py:23-280)")
+    return _SUBSAMPLING[name]
+
+
+def subsampled_feat_dim(name: str, idim: int) -> int:
+    """Frequency-axis size after the conv stack (the flatten Linear's fan-in
+    is odim * this). Mirrors the reference's ((idim-1)//2 ...) chains."""
+    f = idim
+    for k, s in subsampling_spec(name)["convs"]:
+        f = (f - (k - 1) - 1) // s + 1
+    return f
 
 
 def _sinus_table(d_model: int, max_len: int) -> np.ndarray:
@@ -152,21 +185,30 @@ def conformer_encode(
 
     x = (feats.astype(jnp.float32) - params["cmvn_mean"]) * params["cmvn_istd"]
 
-    # Conv2dSubsampling2: (B, T, F) -> conv2d k3 s2 (valid) -> (B, T', F', C)
-    x = x[:, :, :, None]  # NHWC: (B, T, F, 1)
-    w = params["embed_conv"]["w"]  # (3, 3, 1, odim)
-    x = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype), w.astype(compute_dtype), window_strides=(2, 2),
-        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    x = x + params["embed_conv"]["b"]
-    x = jnp.maximum(x, 0.0)
-    bt, tt, ff_, c = x.shape
-    # torch flattens channel-major: transpose(1,2).view -> (c outer, f inner)
-    x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, tt, c * ff_)
-    x = fnn.linear(params["embed_out"], x.astype(compute_dtype), compute_dtype)
-
-    mask = mask[:, :-2:2]  # subsampled time mask (subsampling.py:119)
+    spec = subsampling_spec(cfg.subsampling)
+    if spec["convs"]:
+        # Conv2dSubsampling{2,4,6,8}: stacked VALID conv2d+ReLU stages then a
+        # channel-major flatten linear (subsampling.py:68-280)
+        x = x[:, :, :, None]  # NHWC: (B, T, F, 1)
+        for i, (kk, ss) in enumerate(spec["convs"]):
+            w = params["embed_convs"][i]["w"]  # (k, k, in, odim) HWIO
+            x = jax.lax.conv_general_dilated(
+                x.astype(compute_dtype), w.astype(compute_dtype),
+                window_strides=(ss, ss), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            x = jnp.maximum(x + params["embed_convs"][i]["b"], 0.0)
+            # torch mask slice x_mask[:, :, :-(k-1):s] per stage
+            mask = mask[:, : -(kk - 1) : ss]
+        bt, tt, ff_, c = x.shape
+        # torch flattens channel-major: transpose(1,2).view -> (c outer, f inner)
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, tt, c * ff_)
+        x = fnn.linear(params["embed_out"], x.astype(compute_dtype), compute_dtype)
+    else:
+        # LinearNoSubsampling: Linear + LayerNorm (subsampling.py:23-66)
+        x = fnn.linear(params["embed_out"], x.astype(compute_dtype), compute_dtype)
+        x = fnn.layernorm(params["embed_ln"], x, eps=1e-5).astype(compute_dtype)
+        tt = t
 
     d = cfg.output_size
     x = x.astype(jnp.float32) * math.sqrt(d)
@@ -295,12 +337,40 @@ def conformer_from_torch(sd: Dict[str, np.ndarray], cfg: ConformerConfig,
         params["cmvn_mean"] = np.zeros((cfg.input_dim,), np.float32)
         params["cmvn_istd"] = np.ones((cfg.input_dim,), np.float32)
 
-    # Conv2d (odim, 1, 3, 3) -> HWIO (3, 3, 1, odim)
-    params["embed_conv"] = {
-        "w": np.ascontiguousarray(sd["encoder.embed.conv.0.weight"].transpose(2, 3, 1, 0)),
-        "b": sd["encoder.embed.conv.0.bias"],
-    }
-    params["embed_out"] = lin("encoder.embed.out.0")
+    spec = subsampling_spec(cfg.subsampling)
+    if spec["convs"]:
+        # torch Sequential(conv, relu, conv, relu, ...) -> indices 0, 2, 4;
+        # Conv2d (odim, in, k, k) -> HWIO (k, k, in, odim)
+        convs = []
+        for i, (kk, _ss) in enumerate(spec["convs"]):
+            wk = f"encoder.embed.conv.{2 * i}.weight"
+            if wk not in sd:
+                raise KeyError(
+                    f"checkpoint has no {wk}: its conv stack does not match "
+                    f"input_layer={cfg.subsampling!r} "
+                    f"({len(spec['convs'])} conv stages expected)")
+            w = sd[wk]
+            assert w.shape[-1] == kk, (
+                f"conv stage {i} kernel {w.shape[-1]} != {kk} expected for "
+                f"input_layer={cfg.subsampling!r}")
+            convs.append({"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                          "b": sd[f"encoder.embed.conv.{2 * i}.bias"]})
+        if f"encoder.embed.conv.{2 * len(spec['convs'])}.weight" in sd:
+            raise KeyError(
+                f"checkpoint has MORE conv stages than input_layer="
+                f"{cfg.subsampling!r} expects ({len(spec['convs'])})")
+        params["embed_convs"] = convs
+        out_key = ("encoder.embed.out.0" if spec["out_attr"] == "out"
+                   else "encoder.embed.linear")
+        params["embed_out"] = lin(out_key)
+        want = cfg.output_size * subsampled_feat_dim(cfg.subsampling, cfg.input_dim)
+        got = params["embed_out"]["w"].shape[0]
+        assert got == want, (
+            f"subsampling flatten linear fan-in {got} != {want} expected for "
+            f"input_layer={cfg.subsampling!r} idim={cfg.input_dim}")
+    else:
+        params["embed_out"] = lin("encoder.embed.out.0")
+        params["embed_ln"] = ln("encoder.embed.out.1")
 
     layers = []
     for i in range(cfg.num_blocks):
@@ -394,9 +464,8 @@ def load_ppg_extractor(ckpt_path: str, config_path: str, *, output_type: str = "
 
 def init_conformer(key, cfg: ConformerConfig) -> dict:
     """Random init (tests / from-scratch PPG training)."""
-    keys = iter(jax.random.split(key, 8 + cfg.num_blocks * 12))
+    keys = iter(jax.random.split(key, 12 + cfg.num_blocks * 12))
     d, lu = cfg.output_size, cfg.linear_units
-    fdim = (cfg.input_dim - 1) // 2
 
     def lin(k, i, o, bias=True):
         return fnn.linear_init(k, i, o, bias=bias)
@@ -404,14 +473,24 @@ def init_conformer(key, cfg: ConformerConfig) -> dict:
     params = {
         "cmvn_mean": jnp.zeros((cfg.input_dim,), jnp.float32),
         "cmvn_istd": jnp.ones((cfg.input_dim,), jnp.float32),
-        "embed_conv": {
-            "w": jax.random.normal(next(keys), (3, 3, 1, d), jnp.float32) * 0.1,
-            "b": jnp.zeros((d,), jnp.float32),
-        },
-        "embed_out": lin(next(keys), d * fdim, d),
         "after_norm": fnn.layernorm_init(d),
         "content_linear": lin(next(keys), d, d),
     }
+    spec = subsampling_spec(cfg.subsampling)
+    if spec["convs"]:
+        convs = []
+        for i, (kk, _ss) in enumerate(spec["convs"]):
+            cin = 1 if i == 0 else d
+            convs.append({
+                "w": jax.random.normal(next(keys), (kk, kk, cin, d), jnp.float32) * 0.1,
+                "b": jnp.zeros((d,), jnp.float32),
+            })
+        params["embed_convs"] = convs
+        params["embed_out"] = lin(
+            next(keys), d * subsampled_feat_dim(cfg.subsampling, cfg.input_dim), d)
+    else:
+        params["embed_out"] = lin(next(keys), cfg.input_dim, d)
+        params["embed_ln"] = fnn.layernorm_init(d)
     layers = []
     for _ in range(cfg.num_blocks):
         layers.append({

