@@ -58,7 +58,9 @@ class F5TTS:
         config_file: Optional[str] = None,
         compute_dtype=jnp.bfloat16,
         engine_dir: Optional[str] = None,
+        asr_model: Optional[str] = None,  # local whisper dir (or F5E_ASR_MODEL)
     ):
+        self.asr_model = asr_model
         self.model_cfg: ModelConfig = load_yaml(config_file) if config_file else preset(model)
         arch = self.model_cfg.arch
         self.target_sample_rate = self.model_cfg.mel.target_sample_rate
@@ -102,15 +104,13 @@ class F5TTS:
 
     def transcribe(self, ref_audio: str, language: Optional[str] = None,
                    asr_model_path: Optional[str] = None) -> str:
-        """Transcribe a reference audio file (reference: api.py:87-88).
+        """Transcribe a reference audio file (reference: api.py:87-88) via the
+        shared lazy Whisper pipeline (infer/transcribe.py). Local weights from
+        asr_model_path, the constructor's asr_model, or F5E_ASR_MODEL."""
+        from f5e_tts_tpu.infer.transcribe import transcribe as _transcribe
 
-        Needs local whisper weights (offline build, no auto-download)."""
-        from f5e_tts_tpu.eval.scorers import load_whisper_asr
-
-        if asr_model_path is None:
-            raise RuntimeError("pass asr_model_path=<local whisper dir> "
-                               "(no model auto-download in this build)")
-        return load_whisper_asr(asr_model_path, language or "en")(ref_audio)
+        return _transcribe(ref_audio, language=language,
+                           model_dir=asr_model_path or self.asr_model)
 
     def export_wav(self, wav: np.ndarray, file_wave: str, remove_silence: bool = False):
         if remove_silence:
@@ -144,6 +144,15 @@ class F5TTS:
         self.seed = seed
 
         wav, sr = faudio.read_wav(ref_file)
+        # reference api.py preprocesses the ref (silence clip + punctuation +
+        # auto-transcription when ref_text is empty, utils_infer.py:293-361)
+        from f5e_tts_tpu.infer.pipeline import preprocess_ref_audio_text
+        from f5e_tts_tpu.infer.transcribe import make_cached_transcriber
+
+        self._transcriber = getattr(self, "_transcriber", None) or \
+            make_cached_transcriber(self.asr_model)
+        wav, ref_text = preprocess_ref_audio_text(
+            wav, sr, ref_text, transcribe=self._transcriber)
         out, sr, spec = self.engine.infer(
             wav, sr, ref_text, gen_text, seed=seed, speed=speed,
             fix_duration=fix_duration, nfe_steps=nfe_step, cfg_strength=cfg_strength,

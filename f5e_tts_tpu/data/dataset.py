@@ -76,7 +76,11 @@ class ArrowSpeechDataset:
         row = self.rows[idx]
         if "duration" in row:
             return frame_len_of(row["duration"], self.mel)
-        return len(row["audio"]["array"]) // self.mel.hop_length
+        # rescale to the target rate like HFDataset.get_frame_len
+        audio = row["audio"]
+        sr = int(audio.get("sampling_rate", self.mel.target_sample_rate))
+        return int(len(audio["array"]) / sr
+                   * self.mel.target_sample_rate / self.mel.hop_length)
 
     def __getitem__(self, idx: int) -> Dict:
         row = self.rows[idx]
@@ -105,6 +109,81 @@ class ArrowSpeechDataset:
             wav = resample(wav, sr, self.mel.target_sample_rate)
         out["audio"] = wav
         return out
+
+
+class HFSpeechDataset:
+    """Hub-hosted dataset wrapper (reference: dataset.py:18-80 HFDataset).
+
+    Rows carry {audio: {array, sampling_rate}, text}; frame length is derived
+    from the array length rescaled to the target rate (no duration.json), and
+    out-of-range items (>30 s or <0.3 s) skip forward to the next index, the
+    reference's exact behavior (dataset.py:59-61)."""
+
+    def __init__(self, hf_dataset, mel: MelConfig = MelConfig()):
+        self.rows = hf_dataset
+        self.mel = mel
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def get_frame_len(self, idx: int) -> int:
+        row = self.rows[idx]
+        audio = row["audio"]["array"]
+        sr = row["audio"]["sampling_rate"]
+        return int(len(audio) / sr * self.mel.target_sample_rate / self.mel.hop_length)
+
+    def __getitem__(self, idx: int) -> Dict:
+        for _ in range(len(self.rows)):
+            row = self.rows[idx]
+            audio = np.asarray(row["audio"]["array"], np.float32)
+            sr = int(row["audio"]["sampling_rate"])
+            duration = len(audio) / sr
+            if 0.3 <= duration <= 30:
+                break
+            idx = (idx + 1) % len(self.rows)  # dataset.py:59-61
+        else:
+            raise ValueError("no item with duration in [0.3, 30] s")
+        if sr != self.mel.target_sample_rate:
+            from f5e_tts_tpu.infer.audio import resample
+
+            audio = resample(audio, sr, self.mel.target_sample_rate)
+        return {"audio": audio, "text": row["text"]}
+
+
+def load_speech_dataset(
+    dataset_name: str,
+    tokenizer: str = "pinyin",
+    dataset_type: str = "CustomDataset",
+    data_root: str = "data",
+    mel: MelConfig = MelConfig(),
+    audio_type: str = "raw",
+    hf_dataset=None,
+):
+    """Dataset factory (reference: dataset.py:309-373 load_dataset).
+
+    - "CustomDataset": {data_root}/{name}_{tokenizer}/raw[.arrow] + duration.json
+    - "CustomDatasetPath": dataset_name IS the directory
+    - "HFDataset": hub dataset "{pre}/{pre}" split "train.{post}" — pass a
+      pre-loaded hub dataset via hf_dataset to stay offline, otherwise
+      datasets.load_dataset is attempted (gated: needs network/cache)
+    """
+    if dataset_type == "CustomDataset":
+        path = os.path.join(data_root, f"{dataset_name}_{tokenizer}")
+        ds = ArrowSpeechDataset.from_dir(path, mel)
+        if audio_type == "mel":
+            ds.preprocessed_mel = True
+        return ds
+    if dataset_type == "CustomDatasetPath":
+        return ArrowSpeechDataset.from_dir(dataset_name, mel)
+    if dataset_type == "HFDataset":
+        if hf_dataset is None:
+            from datasets import load_dataset as hf_load
+
+            pre, post = dataset_name.split("_")
+            hf_dataset = hf_load(f"{pre}/{pre}", split=f"train.{post}",
+                                 cache_dir=data_root)
+        return HFSpeechDataset(hf_dataset, mel)
+    raise ValueError(f"unknown dataset_type {dataset_type!r}")
 
 
 def pack_batches(

@@ -60,7 +60,7 @@ def load_config(args) -> dict:
     for key in ("model", "model_cfg", "ckpt_file", "vocab_file", "ref_audio", "ref_text",
                 "gen_text", "gen_file", "output_dir", "output_file", "vocoder_local_path",
                 "target_rms", "cross_fade_duration", "nfe_step", "cfg_strength",
-                "sway_sampling_coef", "speed", "fix_duration", "seed"):
+                "sway_sampling_coef", "speed", "fix_duration", "seed", "asr_model"):
         val = getattr(args, key, None)
         if val is not None:
             cfg[key] = val
@@ -131,14 +131,9 @@ def main(argv=None):
 
     # voices: main + named (reference: infer_cli.py:290-305), each preprocessed
     # (silence clip + optional auto-transcription, utils_infer.py:293-361)
-    transcriber = None
-    if cfg.get("asr_model"):
-        from f5e_tts_tpu.eval.scorers import load_whisper_asr
-        from f5e_tts_tpu.infer.pipeline import CachedTranscriber
+    from f5e_tts_tpu.infer.transcribe import make_cached_transcriber
 
-        asr = load_whisper_asr(cfg["asr_model"])
-        transcriber = CachedTranscriber(
-            lambda wav, sr: asr(_tmp_wav(wav, sr)))
+    transcriber = make_cached_transcriber(cfg.get("asr_model"))
 
     voices = {"main": {"ref_audio": cfg["ref_audio"], "ref_text": cfg.get("ref_text", "")}}
     for name, v in cfg.get("voices", {}).items():
@@ -150,7 +145,7 @@ def main(argv=None):
         try:
             wav, text = preprocess_ref_audio_text(wav, sr, v["ref_text"],
                                                   transcribe=transcriber)
-        except RuntimeError as e:
+        except (RuntimeError, FileNotFoundError) as e:
             raise SystemExit(f"voice [{name}]: {e}")
         v["wav"], v["sr"], v["ref_text"] = wav, sr, text
 

@@ -68,8 +68,16 @@ def build_app(tts=None, default_model: str = "F5TTS_v1_Base"):
             wav_in = wav_in / 32768.0
         if wav_in.ndim == 2:
             wav_in = wav_in.mean(axis=1)
+        # ref preprocessing incl. auto-transcription when ref_text is blank
+        # (reference infer_gradio.py routes through preprocess_ref_audio_text)
+        from f5e_tts_tpu.infer.pipeline import preprocess_ref_audio_text
+        from f5e_tts_tpu.infer.transcribe import make_cached_transcriber
+
+        wav_in, ref_text = preprocess_ref_audio_text(
+            wav_in, sr_in, ref_text or "",
+            transcribe=make_cached_transcriber(getattr(t, "asr_model", None)))
         out, sr, _ = t.engine.infer(
-            wav_in, sr_in, ref_text or "", gen_text,
+            wav_in, sr_in, ref_text, gen_text,
             seed=int(seed) if seed else 0,
             nfe_steps=int(nfe), speed=speed, cross_fade_duration=cross_fade)
         if remove_silence:

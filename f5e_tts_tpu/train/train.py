@@ -56,8 +56,18 @@ def main(argv=None):
             toks = ftext.intersperse(toks)  # cfm.py:509-510
         return ftext.list_str_to_idx(toks, vocab)
 
-    ds_dir = os.path.join(args.data_dir, f"{dataset_name}_{model_cfg.tokenizer}")
-    dataset = ArrowSpeechDataset.from_dir(ds_dir, mel=model_cfg.mel)
+    # dataset_type routing (reference dataset.py:309-373): CustomDataset /
+    # CustomDatasetPath / HFDataset (hub-hosted; see data/dataset.py)
+    dataset_type = raw.get("datasets", {}).get("dataset_type", "CustomDataset")
+    if dataset_type == "CustomDataset":
+        ds_dir = os.path.join(args.data_dir, f"{dataset_name}_{model_cfg.tokenizer}")
+        dataset = ArrowSpeechDataset.from_dir(ds_dir, mel=model_cfg.mel)
+    else:
+        from f5e_tts_tpu.data.dataset import load_speech_dataset
+
+        dataset = load_speech_dataset(dataset_name, model_cfg.tokenizer,
+                                      dataset_type=dataset_type,
+                                      data_root=args.data_dir, mel=model_cfg.mel)
     loader = build_loader(dataset, tokenize,
                           frames_threshold=train_cfg.batch_size_per_device,
                           max_samples=train_cfg.max_samples, seed=train_cfg.seed)
