@@ -145,6 +145,250 @@ def prune_checkpoint(ckpt_path: str, out_path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# project settings (reference: finetune_gradio.py:61-173)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SETTINGS = {
+    "exp_name": "F5TTS_v1_Base",
+    "learning_rate": 1e-5,
+    "batch_size_per_gpu": 3200,
+    "batch_size_type": "frame",
+    "max_samples": 64,
+    "grad_accumulation_steps": 1,
+    "max_grad_norm": 1.0,
+    "epochs": 100,
+    "num_warmup_updates": 100,
+    "save_per_updates": 500,
+    "keep_last_n_checkpoints": -1,
+    "last_per_updates": 100,
+    "finetune": True,
+    "file_checkpoint_train": "",
+    "tokenizer_type": "pinyin",
+    "tokenizer_file": "",
+    "mixed_precision": "bf16",
+    "logger": "none",
+    "bnb_optimizer": False,
+}
+
+
+def save_settings(project_dir: str, settings: dict) -> str:
+    """Persist per-project training settings (finetune_gradio.py:61-111)."""
+    import json
+    import os
+
+    os.makedirs(project_dir, exist_ok=True)
+    merged = dict(DEFAULT_SETTINGS)
+    merged.update(settings)
+    with open(os.path.join(project_dir, "setting.json"), "w") as f:
+        json.dump(merged, f, indent=4)
+    return "Settings saved!"
+
+
+def load_settings(project_dir: str) -> dict:
+    """Settings with defaults filled (finetune_gradio.py:114-173)."""
+    import json
+    import os
+
+    path = os.path.join(project_dir, "setting.json")
+    settings = dict(DEFAULT_SETTINGS)
+    if os.path.isfile(path):
+        with open(path, "r") as f:
+            settings.update(json.load(f))
+    return settings
+
+
+# ---------------------------------------------------------------------------
+# dataset transcription (reference: finetune_gradio.py:658-726 transcribe_all)
+# ---------------------------------------------------------------------------
+
+def transcribe_all(project_dir: str, audio_files: List[str],
+                   language: str = "english", transcriber=None,
+                   progress=lambda it, **kw: it) -> dict:
+    """Transcribe a list of wavs into {project}/wavs + metadata.csv
+    (audio|text rows, the prepare-csv layout). `transcriber` defaults to the
+    shared lazy Whisper pipeline (infer/transcribe.py, gated on local
+    weights); inject a callable(path) -> str for tests."""
+    import os
+    import shutil
+
+    if transcriber is None:
+        from f5e_tts_tpu.infer.transcribe import transcribe as _t
+
+        def transcriber(path):  # noqa: F811
+            return _t(path, language=language)
+
+    wav_dir = os.path.join(project_dir, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rows, errors = [], []
+    for src in progress(audio_files, desc="transcribe files"):
+        name = os.path.basename(src)
+        dst = os.path.join(wav_dir, name)
+        try:
+            text = transcriber(src)
+            if src != dst:
+                shutil.copyfile(src, dst)
+            rows.append(f"{name}|{text}")
+        except Exception as e:  # noqa: BLE001 (reference collects errors too)
+            errors.append(f"{name}: {e}")
+    with open(os.path.join(project_dir, "metadata.csv"), "w", encoding="utf-8") as f:
+        f.write("audio_file|text\n")
+        f.write("\n".join(rows) + ("\n" if rows else ""))
+    return {"transcribed": len(rows), "errors": errors,
+            "metadata": os.path.join(project_dir, "metadata.csv")}
+
+
+def create_metadata(project_dir: str, out_dir: str, tokenizer: str = "pinyin") -> dict:
+    """metadata.csv + wavs -> raw.arrow + duration.json + vocab.txt
+    (finetune_gradio.py:767-874; reuses the csv corpus adapter)."""
+    from f5e_tts_tpu.data.prepare import prepare, rows_from_csv
+
+    return prepare(rows_from_csv(project_dir), out_dir, tokenizer)
+
+
+# ---------------------------------------------------------------------------
+# training process management (reference: finetune_gradio.py:337-632)
+# ---------------------------------------------------------------------------
+
+class TrainingManager:
+    """Spawn/stream/stop the training CLI as a subprocess.
+
+    reference: finetune_gradio.py:365-632 — start_training builds the command,
+    Popen-s it with streamed stdout, stop_training terminates the tree. Here
+    the child gets its own process group so stop() cannot hit unrelated
+    processes."""
+
+    def __init__(self):
+        self.process = None
+        self.lines: List[str] = []
+
+    def start(self, config_path: str, *, data_dir: str = "data",
+              dataset_name: str = None, pretrained: str = None,
+              max_updates: int = None, extra_args: List[str] = (),
+              python=None) -> int:
+        import os
+        import subprocess
+        import sys
+        import threading
+
+        if self.is_running():
+            raise RuntimeError("train run already in progress "
+                               "(finetune_gradio.py:413-417)")
+        cmd = [python or sys.executable, "-m", "f5e_tts_tpu.train.train",
+               "--config", config_path, "--data_dir", data_dir]
+        if dataset_name:
+            cmd += ["--dataset_name", dataset_name]
+        if pretrained:
+            cmd += ["--pretrained", pretrained]
+        if max_updates is not None:
+            cmd += ["--max_updates", str(max_updates)]
+        cmd += list(extra_args)
+        self.lines = []
+        self.process = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            start_new_session=True, env=dict(os.environ))
+
+        def pump():
+            for line in self.process.stdout:
+                self.lines.append(line.rstrip("\n"))
+
+        self._pump = threading.Thread(target=pump, daemon=True)
+        self._pump.start()
+        return self.process.pid
+
+    def is_running(self) -> bool:
+        return self.process is not None and self.process.poll() is None
+
+    def status(self) -> dict:
+        if self.process is None:
+            return {"state": "idle", "tail": []}
+        code = self.process.poll()
+        return {"state": "running" if code is None else f"exited({code})",
+                "pid": self.process.pid, "tail": self.lines[-20:]}
+
+    def stop(self, timeout: float = 10.0) -> str:
+        """Terminate the training process group (finetune_gradio.py:623-631)."""
+        import os
+        import signal
+
+        if self.process is None or self.process.poll() is not None:
+            return "train not running !"
+        os.killpg(os.getpgid(self.process.pid), signal.SIGTERM)
+        try:
+            self.process.wait(timeout=timeout)
+        except Exception:  # noqa: BLE001
+            os.killpg(os.getpgid(self.process.pid), signal.SIGKILL)
+            self.process.wait()
+        return "train stopped !"
+
+    def wait(self, timeout=None) -> int:
+        return self.process.wait(timeout=timeout)
+
+
+def calculate_train(dataset_dir: str, *, batch_size_type: str = "frame",
+                    max_samples: int = 64, num_warmup_updates: int = 100,
+                    finetune: bool = True, hbm_gb_per_chip: float = 16.0,
+                    n_chips: int = None) -> dict:
+    """Suggest hyperparameters from the dataset (finetune_gradio.py:881-968),
+    TPU-flavored: chip count from jax.device_count, HBM instead of CUDA
+    memory (v5e = 16 GB)."""
+    import json
+    import os
+
+    fd = os.path.join(dataset_dir, "duration.json")
+    if not os.path.isfile(fd):
+        return {"error": "project not found !"}
+    with open(fd, "r") as f:
+        durations = json.load(f)["duration"]
+    hop, sr = 256, 24000
+    max_len = max(durations) * sr / hop
+    total_samples = len(durations)
+    total_duration = sum(durations)
+    if n_chips is None:
+        import jax
+
+        n_chips = jax.device_count()
+
+    if batch_size_type == "frame":
+        # reference scales 38400 frames per 75 GB beyond a 5 GB floor
+        batch = max(int(38400 * (hbm_gb_per_chip - 5) / 75), int(max_len))
+        updates_per_epoch = total_duration / (batch * n_chips * hop / sr)
+    else:
+        batch = int(200 / (total_duration / total_samples))
+        updates_per_epoch = total_samples / batch / n_chips
+    if total_samples < 64:
+        max_samples = int(total_samples * 0.25)
+    num_warmup_updates = max(num_warmup_updates, int(total_samples * 0.05))
+    epochs = int(1_200_000 / max(updates_per_epoch, 1e-9))
+    return {
+        "epochs": epochs,
+        "learning_rate": 1e-5 if finetune else 7.5e-5,
+        "batch_size_per_gpu": batch,
+        "max_samples": max_samples,
+        "num_warmup_updates": num_warmup_updates,
+        "total_samples": total_samples,
+    }
+
+
+def system_stats() -> dict:
+    """Device stats for the UI (reference shows GPU name/memory; here the
+    jax device list + per-device HBM when the backend reports it)."""
+    import jax
+
+    devices = []
+    for d in jax.devices():
+        row = {"kind": d.device_kind, "id": d.id, "platform": d.platform}
+        try:
+            ms = d.memory_stats()
+            if ms:
+                row["bytes_in_use"] = ms.get("bytes_in_use")
+                row["bytes_limit"] = ms.get("bytes_limit")
+        except Exception:  # noqa: BLE001
+            pass
+        devices.append(row)
+    return {"devices": devices}
+
+
 def build_app():
     try:
         import gradio as gr
@@ -182,6 +426,32 @@ def build_app():
             done = gr.Textbox(label="Status")
             gr.Button("Prune").click(
                 lambda a, b: (prune_checkpoint(a, b) or f"wrote {b}"), [cin, cout], done)
+        with gr.Tab("Transcribe dataset"):
+            proj = gr.Textbox(label="Project dir")
+            files = gr.Textbox(label="Audio files (one path per line)", lines=6)
+            lang = gr.Dropdown(["english", "chinese"], value="english", label="Language")
+            tstat = gr.JSON(label="Result")
+            gr.Button("Transcribe").click(
+                lambda p, fl, lg: transcribe_all(p, fl.splitlines(), lg),
+                [proj, files, lang], tstat)
+        with gr.Tab("Train"):
+            mgr = TrainingManager()
+            cfgp = gr.Textbox(label="Training yaml")
+            ddir = gr.Textbox(label="Data dir", value="data")
+            dname = gr.Textbox(label="Dataset name")
+            pstat = gr.JSON(label="Status")
+            gr.Button("Start").click(
+                lambda c, d, n: (mgr.start(c, data_dir=d, dataset_name=n or None)
+                                 and mgr.status()), [cfgp, ddir, dname], pstat)
+            gr.Button("Status").click(lambda: mgr.status(), [], pstat)
+            gr.Button("Stop").click(lambda: {"msg": mgr.stop()}, [], pstat)
+        with gr.Tab("Suggest hyperparameters"):
+            dsd = gr.Textbox(label="Dataset dir (with duration.json)")
+            sug = gr.JSON(label="Suggestion")
+            gr.Button("Calculate").click(lambda d: calculate_train(d), [dsd], sug)
+        with gr.Tab("System"):
+            sysj = gr.JSON(label="Devices")
+            gr.Button("Refresh").click(lambda: system_stats(), [], sysj)
     return app
 
 
