@@ -54,6 +54,54 @@ def bench_offline(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
             "audio_s": total_audio, "wall_s": wall, **percentile_stats(latencies)}
 
 
+def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
+                     texts: List[str], nfe: int, concurrency: int = 4,
+                     warmup: bool = True) -> dict:
+    """Concurrent offline benchmark: N client threads against one engine.
+
+    With a DynamicBatcher attached (engine.enable_batching) concurrent
+    requests coalesce into folded sampler batches — the Triton
+    dynamic_batching scenario (runtime/triton_trtllm/README.md:64,
+    concurrency 2). Reports RTF, latency percentiles, and the observed batch
+    size distribution."""
+    if warmup:
+        _ = engine.infer(ref_wav, ref_sr, ref_text, texts[0], nfe_steps=nfe)
+    if engine.batcher is not None:
+        engine.batcher.batch_sizes.clear()
+
+    results = []
+    lock = threading.Lock()
+    queue = list(texts)
+
+    def worker():
+        while True:
+            with lock:
+                if not queue:
+                    return
+                text = queue.pop()
+            t1 = time.perf_counter()
+            wav, sr, _ = engine.infer(ref_wav, ref_sr, ref_text, text,
+                                      nfe_steps=nfe)
+            with lock:
+                results.append((time.perf_counter() - t1, len(wav) / sr))
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    total_audio = sum(r[1] for r in results)
+    sizes = list(engine.batcher.batch_sizes) if engine.batcher is not None else []
+    return {"mode": "concurrent", "concurrency": concurrency, "nfe": nfe,
+            "n": len(results), "rtf": wall / max(total_audio, 1e-9),
+            "audio_s": total_audio, "wall_s": wall,
+            "batch_sizes": sizes,
+            "mean_batch": float(np.mean(sizes)) if sizes else 1.0,
+            **percentile_stats([r[0] for r in results])}
+
+
 def bench_server(host: str, port: int, texts: List[str], concurrency: int = 2,
                  sample_rate: int = 24_000) -> dict:
     """Client-server benchmark (client_grpc.py / benchmark.py client mode)."""
@@ -107,6 +155,17 @@ def main(argv=None):
     po.add_argument("--ref_audio", required=True)
     po.add_argument("--ref_text", default="some call me nature.")
     po.add_argument("--nfe", type=int, default=16)
+    pc = sub.add_parser("concurrent")
+    pc.add_argument("--model", default="F5TTS_v1_Base")
+    pc.add_argument("--ckpt", default="")
+    pc.add_argument("--vocab", default="")
+    pc.add_argument("--vocoder_local_path", default=None)
+    pc.add_argument("--ref_audio", required=True)
+    pc.add_argument("--ref_text", default="some call me nature.")
+    pc.add_argument("--nfe", type=int, default=16)
+    pc.add_argument("--concurrency", type=int, default=4)
+    pc.add_argument("--max_batch", type=int, default=4)
+    pc.add_argument("--batch_window_ms", type=float, default=20.0)
     ps = sub.add_parser("server")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=9998)
@@ -123,6 +182,20 @@ def main(argv=None):
         wav, sr = read_wav(args.ref_audio)
         stats = bench_offline(tts.engine, wav, sr, args.ref_text,
                               DEFAULT_TEXTS[:26], args.nfe)
+    elif args.mode == "concurrent":
+        from f5e_tts_tpu.api import F5TTS
+        from f5e_tts_tpu.infer.audio import read_wav
+
+        tts = F5TTS(model=args.model, ckpt_file=args.ckpt, vocab_file=args.vocab,
+                    vocoder_local_path=args.vocoder_local_path)
+        if args.max_batch > 0:
+            tts.engine.enable_batching(max_batch=args.max_batch,
+                                       window_ms=args.batch_window_ms,
+                                       nfe_steps=args.nfe)
+        wav, sr = read_wav(args.ref_audio)
+        stats = bench_concurrent(tts.engine, wav, sr, args.ref_text,
+                                 DEFAULT_TEXTS[:26], args.nfe,
+                                 concurrency=args.concurrency)
     else:
         stats = bench_server(args.host, args.port, DEFAULT_TEXTS[: args.requests],
                              args.concurrency)

@@ -181,3 +181,23 @@ def test_concurrent_requests_fold_into_one_batch(rng):
     solo = _mk_engine()
     wav_solo, _, _ = solo.infer(ref, sr, "abc def", "gh abc", seed=3)
     np.testing.assert_allclose(results["a"][0], wav_solo, rtol=1e-4, atol=1e-5)
+
+
+def test_bench_concurrent_reports_cobatching(rng):
+    """Concurrency-4 benchmark through the batcher: all requests served, and
+    co-batching observed (VERDICT #2 'done' criterion)."""
+    from f5e_tts_tpu.serving.benchmark import bench_concurrent
+
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    eng = _mk_engine()
+    eng.enable_batching(max_batch=4, window_ms=300)
+    texts = ["gh abc", "cba hg", "abc gh", "ha bc", "bc ha", "gach b"]
+    stats = bench_concurrent(eng, ref, sr, "abc def", texts, nfe=2,
+                             concurrency=4)
+    eng.batcher.stop()
+    assert stats["n"] == len(texts)
+    assert stats["rtf"] > 0
+    assert stats["batch_sizes"], "no batches recorded"
+    assert max(stats["batch_sizes"]) >= 2, stats["batch_sizes"]
+    assert stats["mean_batch"] > 1.0
