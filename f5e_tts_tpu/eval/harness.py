@@ -100,7 +100,6 @@ def get_inference_prompts(
     sr, hop = mel_cfg.target_sample_rate, mel_cfg.hop_length
     min_tokens = int(min_secs * sr // hop)
     max_tokens = int(max_secs * sr // hop)
-    bucket_w = (max_tokens - min_tokens) / num_buckets
 
     buckets: List[List[dict]] = [[] for _ in range(num_buckets)]
     for utt, prompt_text, prompt_wav, gt_text, gt_wav in metainfo:
@@ -122,32 +121,49 @@ def get_inference_prompts(
             continue
 
         ref_mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), mel_cfg))[0]
-        idx = min(int((total_mel_len - min_tokens) / bucket_w), num_buckets - 1)
+        # reference bucket index: floor((L - min) / (max - min + 1) * N)
+        # (utils_eval.py:172)
+        idx = min(int((total_mel_len - min_tokens)
+                      / (max_tokens - min_tokens + 1) * num_buckets),
+                  num_buckets - 1)
         buckets[idx].append(dict(utt=utt, ref_mel=ref_mel, ref_mel_len=ref_mel_len,
                                  total_mel_len=total_mel_len,
                                  text=prompt_text + gt_text, rms=rms))
 
+    def _flush(group) -> PromptBatch:
+        ids = tokenize([g["text"] for g in group])
+        n_ref = max(g["ref_mel"].shape[0] for g in group)
+        mels = np.zeros((len(group), n_ref, mel_cfg.n_mel_channels), np.float32)
+        for j, g in enumerate(group):
+            mels[j, : g["ref_mel"].shape[0]] = g["ref_mel"]
+        return PromptBatch(
+            utts=[g["utt"] for g in group],
+            ref_mels=mels,
+            ref_mel_lens=np.asarray([g["ref_mel_len"] for g in group], np.int32),
+            total_mel_lens=np.asarray([g["total_mel_len"] for g in group], np.int32),
+            text_ids=ids,
+            ref_rms=np.asarray([g["rms"] for g in group], np.float32),
+        )
+
+    # reference batching: accumulate FRAMES per bucket and flush when the
+    # accumulated total reaches infer_batch_size — a frame budget despite the
+    # name (utils_eval.py:181-198); infer_batch_size=1 -> one utt per batch
     batches: List[PromptBatch] = []
     for bucket in buckets:
-        for i in range(0, len(bucket), infer_batch_size):
-            group = bucket[i : i + infer_batch_size]
-            if not group:
-                continue
-            ids = tokenize([g["text"] for g in group])
-            n_ref = max(g["ref_mel"].shape[0] for g in group)
-            mels = np.zeros((len(group), n_ref, mel_cfg.n_mel_channels), np.float32)
-            for j, g in enumerate(group):
-                mels[j, : g["ref_mel"].shape[0]] = g["ref_mel"]
-            batches.append(PromptBatch(
-                utts=[g["utt"] for g in group],
-                ref_mels=mels,
-                ref_mel_lens=np.asarray([g["ref_mel_len"] for g in group], np.int32),
-                total_mel_lens=np.asarray([g["total_mel_len"] for g in group], np.int32),
-                text_ids=ids,
-                ref_rms=np.asarray([g["rms"] for g in group], np.float32),
-            ))
-    rng = np.random.default_rng(seed)
-    rng.shuffle(batches)
+        accum, group = 0, []
+        for g in bucket:
+            group.append(g)
+            accum += g["total_mel_len"]
+            if accum >= infer_batch_size:
+                batches.append(_flush(group))
+                accum, group = 0, []
+        if group:
+            batches.append(_flush(group))
+    # python-random shuffle with the reference's fixed seed so the batch
+    # ORDER (and hence per-host shards) matches (utils_eval.py:216-217)
+    import random as pyrandom
+
+    pyrandom.Random(seed).shuffle(batches)
     return batches
 
 

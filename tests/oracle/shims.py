@@ -209,6 +209,39 @@ class MelSpectrogram(torch.nn.Module):
         return (spec.transpose(-1, -2) @ self.fb).transpose(-1, -2)
 
 
+def _torchaudio_load(path):
+    """torchaudio.load for PCM16 wav files: ((C, N) float in [-1, 1], sr)."""
+    import wave as wavmod
+
+    import numpy as np
+
+    with wavmod.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        c = w.getnchannels()
+        pcm = np.frombuffer(w.readframes(n), np.int16).astype(np.float32) / 32768.0
+    if c > 1:
+        pcm = pcm.reshape(-1, c).T
+    else:
+        pcm = pcm[None, :]
+    return torch.from_numpy(pcm.copy()), sr
+
+
+class _Resample(torch.nn.Module):
+    """Identity-rate only — the parity fixtures keep wavs at the target rate;
+    real rate conversion would need torchaudio's sinc kernel."""
+
+    def __init__(self, orig_freq, new_freq):
+        super().__init__()
+        if orig_freq != new_freq:
+            raise NotImplementedError(
+                "torchaudio.transforms.Resample shim only supports "
+                "orig_freq == new_freq (keep oracle fixtures at the target rate)")
+
+    def forward(self, x):
+        return x
+
+
 # ---------------------------------------------------------------------------
 # librosa.filters.mel — slaney-scale slaney-norm filterbank (reference
 # modules.py:30-72, bigvgan flavor; defaults htk=False norm='slaney').
@@ -345,9 +378,10 @@ def install() -> None:
         )
 
     if "torchaudio" not in sys.modules:
-        ta = _module("torchaudio")
+        ta = _module("torchaudio", load=_torchaudio_load)
         ta.transforms = _module(
-            "torchaudio.transforms", MelSpectrogram=MelSpectrogram
+            "torchaudio.transforms", MelSpectrogram=MelSpectrogram,
+            Resample=_Resample,
         )
         ta.functional = _module(
             "torchaudio.functional", melscale_fbanks=melscale_fbanks

@@ -636,3 +636,49 @@ def test_align_text_ppg_and_loss_match_reference(ref, rng):
                             jnp.asarray(ppg_embed), cb.temp_start, False,
                             (jax.random.PRNGKey(0), jax.random.PRNGKey(1)))
     np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# eval prompt bucketing (get_inference_prompt)
+# ---------------------------------------------------------------------------
+
+def test_get_inference_prompts_matches_reference(ref, rng, tmp_path):
+    """Bucket assignment, frame-budget batching, duration math, rms scaling,
+    padding and the seed-666 shuffle order vs the actual reference
+    get_inference_prompt (utils_eval.py:77-219)."""
+    from f5e_tts_tpu.config import MelConfig
+    from f5e_tts_tpu.eval.harness import get_inference_prompts
+    from f5e_tts_tpu.infer.audio import write_wav
+
+    sr = 24000
+    metainfo = []
+    for i in range(6):
+        dur = 4.0 + 2.5 * i  # 4..16.5 s prompts
+        wav = (0.2 * np.sin(2 * np.pi * (150 + 40 * i)
+                            * np.arange(int(sr * dur)) / sr)).astype(np.float32)
+        path = str(tmp_path / f"p{i}.wav")
+        write_wav(path, wav, sr)
+        metainfo.append((f"utt{i}", f"prompt text number {i}", path,
+                         "generated text goes here", ""))
+
+    # char tokenizer on both sides (pinyin path already covered above)
+    ours = get_inference_prompts(
+        metainfo, tokenize=lambda texts: [list(t) for t in texts],
+        mel_cfg=MelConfig(), infer_batch_size=4096, num_buckets=20,
+        min_secs=3, max_secs=40)
+
+    expect = ref.utils_eval.get_inference_prompt(
+        metainfo, tokenizer="char", infer_batch_size=4096, num_buckets=20,
+        min_secs=3, max_secs=40)
+
+    assert [b.utts for b in ours] == [e[0] for e in expect]
+    for b, e in zip(ours, expect):
+        _utts, rms_l, mels, mel_lens, total_lens, texts = e
+        np.testing.assert_array_equal(b.ref_mel_lens, np.asarray(mel_lens))
+        np.testing.assert_array_equal(b.total_mel_lens, np.asarray(total_lens))
+        np.testing.assert_allclose(b.ref_rms, np.asarray([float(r) for r in rms_l]),
+                                   rtol=1e-5)
+        # padded_mel_batch permutes to frames-first (B, N, D) (utils_eval.py:70).
+        # Tolerance covers int16-vs-float wav read quantization (amplified by
+        # the log near the mel floor).
+        np.testing.assert_allclose(b.ref_mels, mels.numpy(), rtol=1e-2, atol=5e-2)
