@@ -301,6 +301,28 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
     else:
         layer_rngs = jnp.zeros((cfg.depth, 2), jnp.uint32)
 
+    # fused qkv projection: one (dim, 3*inner) gemm per block instead of
+    # three (XLA does not merge sibling dots). Built ONCE here over the
+    # stacked (depth, ...) weights — outside the scan, so no per-step concat.
+    # Skipped under tensor parallelism (to_q/k/v are column-sharded
+    # separately; concat would reshard).
+    from f5e_tts_tpu.ops.attention import _tp_shards
+
+    blocks = params["blocks"]
+    attn_p = blocks["attn"]
+    import os
+
+    fuse = os.environ.get("F5E_FUSED_QKV", "1") != "0"
+    if fuse and "to_qkv" not in attn_p and _tp_shards() == 1:
+        qkv = {"w": jnp.concatenate(
+            [attn_p["to_q"]["w"], attn_p["to_k"]["w"], attn_p["to_v"]["w"]],
+            axis=-1).astype(compute_dtype)}
+        if "b" in attn_p["to_q"]:
+            qkv["b"] = jnp.concatenate(
+                [attn_p["to_q"]["b"], attn_p["to_k"]["b"], attn_p["to_v"]["b"]],
+                axis=-1).astype(compute_dtype)
+        blocks = {**blocks, "attn": {**attn_p, "to_qkv": qkv}}
+
     def body(h, scanned):
         blk, lr = scanned
         h = _dit_block(blk, h, t_emb, mask, rope_cos, rope_sin, cfg,
@@ -311,7 +333,7 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
     if cfg.checkpoint_activations:
         body = jax.checkpoint(body)
 
-    x, _ = jax.lax.scan(body, x, (params["blocks"], layer_rngs))
+    x, _ = jax.lax.scan(body, x, (blocks, layer_rngs))
 
     if cfg.long_skip_connection:
         x = fnn.linear(params["long_skip"], jnp.concatenate([x, residual], axis=-1), compute_dtype)

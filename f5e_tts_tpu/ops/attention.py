@@ -181,9 +181,14 @@ def attention(
     p: {to_q, to_k, to_v, to_out: linear params, [q_norm, k_norm: rmsnorm params]}
     """
     b, n, _ = x.shape
-    q = fnn.linear(p["to_q"], x, compute_dtype)
-    k = fnn.linear(p["to_k"], x, compute_dtype)
-    v = fnn.linear(p["to_v"], x, compute_dtype)
+    if "to_qkv" in p:
+        # fused projection (weights concatenated [q|k|v] by the caller)
+        h = fnn.linear(p["to_qkv"], x, compute_dtype)
+        q, k, v = jnp.split(h, 3, axis=-1)
+    else:
+        q = fnn.linear(p["to_q"], x, compute_dtype)
+        k = fnn.linear(p["to_k"], x, compute_dtype)
+        v = fnn.linear(p["to_v"], x, compute_dtype)
     dh = q.shape[-1] // heads
     q = q.reshape(b, n, heads, dh)
     k = k.reshape(b, n, heads, dh)

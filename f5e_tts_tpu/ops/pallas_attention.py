@@ -193,13 +193,251 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# autodiff: pallas forward + XLA-recompute backward (custom VJP)
+# autodiff: pallas forward + pallas flash-style backward (custom VJP)
 #
-# The kernels above are forward-only; training differentiates attention, so we
-# wrap them in custom_vjp whose backward recomputes the reference attention in
-# plain XLA and differentiates that (correct, memory-heavier — a fused bwd
-# kernel is a future optimization).
+# The backward recomputes softmax(qK^T) per (head, q-block) cell — full K/V in
+# VMEM, no saved stats, no score HBM traffic — and forms dQ per cell while
+# accumulating dK/dV across the sequential q-block grid dimension in fp32
+# output refs (standard Pallas revisited-output accumulation). Shapes outside
+# the VMEM gate fall back to a chunked XLA-recompute backward.
 # ---------------------------------------------------------------------------
+
+
+def _attn_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, sm_scale: float, heads: int):
+    """One (batch*head, q-block) cell of the attention backward.
+
+    Recomputes p = softmax(q K^T) for the block, then
+      dV += p^T dO;  dP = dO V^T;  dS = p ∘ (dP − rowsum(p ∘ dP)) · scale;
+      dQ = dS K;     dK += dS^T q.
+    dK/dV live in fp32 output refs revisited across the (sequential) q-block
+    dim; masked-out key columns have p = dS = 0 so they contribute nothing.
+    """
+    iq = pl.program_id(1)
+    bh = pl.program_id(0)
+    kv_len = kv_len_ref[bh // heads]
+
+    q = q_ref[0]                     # (bq, dh)
+    k = k_ref[0]                     # (n, dh)
+    v = v_ref[0]                     # (n, dh)
+    do = do_ref[0]                   # (bq, dh)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale                     # (bq, n) fp32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                # (bq, n) fp32
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)   # = rowsum(dO ∘ O)
+    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    pb = p.astype(q.dtype)
+
+    dq = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk_c = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                # (n, dh) fp32
+    dv_c = jax.lax.dot_general(
+        pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_ref[0] = dk_c
+        dv_ref[0] = dv_c
+
+    @pl.when(iq > 0)
+    def _accum():
+        dk_ref[0] += dk_c
+        dv_ref[0] += dv_c
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def mha_fullkv_bwd(q, k, v, kv_lens, g, block_q: int = 128,
+                   interpret: bool = False):
+    """Pallas backward of mha_fullkv: returns (dq, dk, dv), (B, N, H, dh)."""
+    b, n, h, dh = q.shape
+    block_q = min(block_q, n)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    def to_bh(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+
+    grid = (b * h, n // block_q)
+    bh_spec_q = pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0))
+    bh_spec_full = pl.BlockSpec((1, n, dh), lambda bh, iq, s_: (bh, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, sm_scale=sm_scale, heads=h),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[bh_spec_q, bh_spec_full, bh_spec_full, bh_spec_q],
+            out_specs=[bh_spec_q, bh_spec_full, bh_spec_full],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v), to_bh(g))
+
+    def from_bh(x, dtype):
+        return jnp.transpose(x.reshape(b, h, n, dh), (0, 2, 1, 3)).astype(dtype)
+
+    return from_bh(dq, q.dtype), from_bh(dk, k.dtype), from_bh(dv, v.dtype)
+
+
+def _attn_bwd_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
+                          cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
+                          dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                          heads: int, rope_heads: int):
+    """Backward with rope fused: rotate q/k on entry (same as the fwd kernel),
+    run the standard backward on rotated tensors, then pull dq/dk back through
+    the rotation adjoint: f(x) = cos∘x + sin∘rot_half(x) has
+    f^T(g) = cos∘g − rot_half(sin∘g)."""
+    iq = pl.program_id(1)
+    bh = pl.program_id(0)
+    h_idx = bh % heads
+    kv_len = kv_len_ref[bh // heads]
+    use_rope = h_idx < rope_heads
+
+    qf = q_ref[0].astype(jnp.float32)
+    kf = k_ref[0].astype(jnp.float32)
+    cos_q, sin_q = cos_q_ref[...], sin_q_ref[...]
+    cos_k, sin_k = cos_k_ref[...], sin_k_ref[...]
+    qr = jnp.where(use_rope, qf * cos_q + _rot_half(qf) * sin_q, qf)
+    kr = jnp.where(use_rope, kf * cos_k + _rot_half(kf) * sin_k, kf)
+    dtype = q_ref.dtype
+    q = qr.astype(dtype)
+    k = kr.astype(dtype)
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * sm_scale).astype(dtype)
+    pb = p.astype(dtype)
+
+    dqr = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dkr = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_c = jax.lax.dot_general(
+        pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dq = jnp.where(use_rope, dqr * cos_q - _rot_half(dqr * sin_q), dqr)
+    dk_c = jnp.where(use_rope, dkr * cos_k - _rot_half(dkr * sin_k), dkr)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_ref[0] = dk_c
+        dv_ref[0] = dv_c
+
+    @pl.when(iq > 0)
+    def _accum():
+        dk_ref[0] += dk_c
+        dv_ref[0] += dv_c
+
+
+@functools.partial(jax.jit, static_argnames=("rope_heads", "block_q", "interpret"))
+def mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
+                        block_q: int = 128, interpret: bool = False):
+    """Pallas backward of mha_fullkv_rope: returns (dq, dk, dv)."""
+    b, n, h, dh = q.shape
+    block_q = min(block_q, n)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    def to_bh(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+
+    bh_spec_q = pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0))
+    bh_spec_full = pl.BlockSpec((1, n, dh), lambda bh, iq, s_: (bh, 0, 0))
+    rope_q = pl.BlockSpec((block_q, dh), lambda bh, iq, s_: (iq, 0))
+    rope_k = pl.BlockSpec((n, dh), lambda bh, iq, s_: (0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_rope_kernel, sm_scale=sm_scale, heads=h,
+                          rope_heads=rope_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[bh_spec_q, bh_spec_full, bh_spec_full, bh_spec_q,
+                      rope_q, rope_q, rope_k, rope_k],
+            out_specs=[bh_spec_q, bh_spec_full, bh_spec_full],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v), to_bh(g),
+      cos.astype(jnp.float32), sin.astype(jnp.float32),
+      cos.astype(jnp.float32), sin.astype(jnp.float32))
+
+    def from_bh(x, dtype):
+        return jnp.transpose(x.reshape(b, h, n, dh), (0, 2, 1, 3)).astype(dtype)
+
+    return from_bh(dq, q.dtype), from_bh(dk, k.dtype), from_bh(dv, v.dtype)
+
+
+def bwd_supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 128,
+                  rope: bool = False) -> bool:
+    """VMEM gate for the Pallas backward (three fp32 score-sized buffers +
+    fp32 dK/dV accumulators live alongside K/V)."""
+    b, n, h, dh = q.shape
+    block_q = min(block_q, n)
+    if k.shape != q.shape or n % block_q or n % 128 or dh not in (64, 128):
+        return False
+    vmem = (2 * n * dh * 2            # K, V bf16
+            + 3 * block_q * n * 4     # s/p, dp, ds fp32
+            + 2 * n * dh * 4          # dK, dV fp32 accumulators
+            + 3 * block_q * dh * 4)   # q, dO, dq
+    if rope:
+        vmem += 2 * (n + block_q) * dh * 4
+    return vmem < 12 * 1024 * 1024
 
 
 _BWD_HEAD_CHUNK = 4  # bounds the (B, Hc, N, N) fp32 score tensors in the bwd
@@ -261,8 +499,11 @@ def _fullkv_fwd(q, k, v, kv_lens):
 
 def _fullkv_bwd(res, g):
     q, k, v, kv_lens = res
-    dq, dk, dv = _chunked_attn_bwd(
-        lambda q_, k_, v_: _reference_attn(q_, k_, v_, kv_lens), q, k, v, g)
+    if bwd_supported(q, k):
+        dq, dk, dv = mha_fullkv_bwd(q, k, v, kv_lens, g)
+    else:
+        dq, dk, dv = _chunked_attn_bwd(
+            lambda q_, k_, v_: _reference_attn(q_, k_, v_, kv_lens), q, k, v, g)
     return dq, dk, dv, None
 
 
@@ -281,6 +522,10 @@ def _rope_fwd(q, k, v, kv_lens, cos, sin, rope_heads):
 
 def _rope_bwd(rope_heads, res, g):
     q, k, v, kv_lens, cos, sin = res
+    if bwd_supported(q, k, rope=True):
+        dq, dk, dv = mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g,
+                                         rope_heads)
+        return dq, dk, dv, None, None, None
     h = q.shape[2]
     chunk = max(1, min(h, _BWD_HEAD_CHUNK))
     if h % chunk:

@@ -118,3 +118,60 @@ def test_sdpa_nonprefix_mask_skips_length_path(monkeypatch, rng):
     # prefix masks still take the kernel path
     att.sdpa(q, q, q, mask=jnp.asarray(np.ones((b, n), bool)))
     assert called["n"] == 1
+
+
+def test_flash_bwd_matches_reference_vjp(rng):
+    """The fused Pallas backward must produce the same (dq, dk, dv) as
+    differentiating the XLA reference attention."""
+    b, n, h, dh = 2, 256, 2, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v, g = mk(), mk(), mk(), mk()
+    kv_lens = jnp.asarray([n, 150], jnp.int32)
+
+    dq, dk, dv = pa.mha_fullkv_bwd(q, k, v, kv_lens, g, block_q=128,
+                                   interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: pa._reference_attn(q_, k_, v_, kv_lens),
+                     q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_bwd_rope_matches_reference_vjp(rng):
+    """Rope-fused backward: rotation adjoint + per-head gating must match the
+    XLA reference's grads, for all-heads and partial (pe_attn_head) rope."""
+    from f5e_tts_tpu.ops.rope import rotary_cos_sin_half
+
+    b, n, h, dh = 2, 256, 4, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v, g = mk(), mk(), mk(), mk()
+    kv_lens = jnp.asarray([n, 200], jnp.int32)
+    cos, sin = rotary_cos_sin_half(dh, n)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    for rope_heads in (h, 1):
+        dq, dk, dv = pa.mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g,
+                                            rope_heads, block_q=128,
+                                            interpret=True)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: pa._reference_rope_attn(q_, k_, v_, kv_lens,
+                                                       cos, sin, rope_heads),
+            q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dq rope_heads={rope_heads}")
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dk rope_heads={rope_heads}")
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dv rope_heads={rope_heads}")
+
+
+def test_bwd_supported_gate():
+    q = jnp.zeros((1, 1536, 16, 64), jnp.bfloat16)
+    assert pa.bwd_supported(q, q)
+    assert pa.bwd_supported(q, q, rope=True)
+    q2 = jnp.zeros((1, 4096, 16, 128), jnp.bfloat16)  # rope tables blow VMEM
+    assert not pa.bwd_supported(q2, q2, rope=True)
+    q3 = jnp.zeros((1, 1000, 16, 64), jnp.bfloat16)
+    assert not pa.bwd_supported(q3, q3)
