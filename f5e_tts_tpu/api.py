@@ -59,10 +59,19 @@ class F5TTS:
         compute_dtype=jnp.bfloat16,
         engine_dir: Optional[str] = None,
         asr_model: Optional[str] = None,  # local whisper dir (or F5E_ASR_MODEL)
+        model_cfg: Optional[dict] = None,  # arch overrides for custom ckpts
     ):
         self.asr_model = asr_model
         self.model_cfg: ModelConfig = load_yaml(config_file) if config_file else preset(model)
         arch = self.model_cfg.arch
+        if model_cfg:
+            # custom-model arch overrides, e.g. {"dim": 1024, "depth": 22, ...}
+            # (reference: infer_gradio.py:75-95 load_custom model_cfg json)
+            import dataclasses as _dc
+
+            known = {f.name for f in _dc.fields(arch)}
+            arch = _dc.replace(arch, **{k: v for k, v in model_cfg.items()
+                                        if k in known})
         self.target_sample_rate = self.model_cfg.mel.target_sample_rate
 
         if vocab_file:

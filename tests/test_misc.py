@@ -11,12 +11,18 @@ from f5e_tts_tpu.train import finetune_gradio as ftg
 
 def test_parse_speechtypes():
     segs = parse_speechtypes_text("{Regular} Hello. {Shouting} HEY! {Regular} ok")
-    assert segs == [{"style": "Regular", "text": "Hello."},
-                    {"style": "Shouting", "text": "HEY!"},
-                    {"style": "Regular", "text": "ok"}]
+    assert [(s["name"], s["text"]) for s in segs] == [
+        ("Regular", "Hello."), ("Shouting", "HEY!"), ("Regular", "ok")]
+    assert all(s["seed"] == -1 and s["speed"] == 1.0 for s in segs)
     # untagged prefix defaults to Regular
     segs = parse_speechtypes_text("plain text")
-    assert segs == [{"style": "Regular", "text": "plain text"}]
+    assert [(s["name"], s["text"]) for s in segs] == [("Regular", "plain text")]
+    # JSON markers carry seed/speed and stay sticky (reference
+    # infer_gradio.py:334-366)
+    segs = parse_speechtypes_text(
+        '{"name": "Whisper", "seed": 7, "speed": 0.8} soft. then more.')
+    assert segs == [{"name": "Whisper", "seed": 7, "speed": 0.8,
+                     "text": "soft. then more."}]
 
 
 def test_slice_audio():
