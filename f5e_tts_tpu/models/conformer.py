@@ -45,14 +45,17 @@ class ConformerConfig:
 
 
 # (kernel, stride) per conv stage + which torch attr holds the output linear
-# (subsampling.py: Conv2dSubsampling{2,4} use .out, {6,8} use .linear)
+# (subsampling.py: Conv2dSubsampling{2,4} use .out, {6,8} use .linear).
+# rate/right_context drive the streaming chunk window
+# (subsampling.py:16-254, encoder.py:328-332).
 _SUBSAMPLING = {
-    "linear": dict(convs=[], out_attr="out"),
-    "conv2d": dict(convs=[(3, 2)], out_attr="out"),
-    "conv2d2": dict(convs=[(3, 2)], out_attr="out"),
-    "conv2d4": dict(convs=[(3, 2), (3, 2)], out_attr="out"),
-    "conv2d6": dict(convs=[(3, 2), (5, 3)], out_attr="linear"),
-    "conv2d8": dict(convs=[(3, 2), (3, 2), (3, 2)], out_attr="linear"),
+    "linear": dict(convs=[], out_attr="out", rate=1, right_context=0),
+    "conv2d": dict(convs=[(3, 2)], out_attr="out", rate=2, right_context=2),
+    "conv2d2": dict(convs=[(3, 2)], out_attr="out", rate=2, right_context=2),
+    "conv2d4": dict(convs=[(3, 2), (3, 2)], out_attr="out", rate=4, right_context=6),
+    "conv2d6": dict(convs=[(3, 2), (5, 3)], out_attr="linear", rate=6, right_context=10),
+    "conv2d8": dict(convs=[(3, 2), (3, 2), (3, 2)], out_attr="linear", rate=8,
+                    right_context=14),
 }
 
 
@@ -73,6 +76,14 @@ def subsampled_feat_dim(name: str, idim: int) -> int:
     return f
 
 
+def subsampled_time(name: str, t: int) -> int:
+    """Time-axis length after the conv stack (the torch mask slice
+    x_mask[:, :, :-(k-1):s] per stage)."""
+    for k, s in subsampling_spec(name)["convs"]:
+        t = (t - (k - 1) + s - 1) // s
+    return t
+
+
 def _sinus_table(d_model: int, max_len: int) -> np.ndarray:
     """Interleaved sin/cos abs table (embedding.py:36-44): pe[:,0::2]=sin."""
     pos = np.arange(max_len, dtype=np.float64)[:, None]
@@ -89,24 +100,31 @@ def _sinus_table(d_model: int, max_len: int) -> np.ndarray:
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """wenet forward_attention: fill -inf where masked, softmax, zero masked."""
+    """wenet forward_attention: fill -inf where masked, softmax, zero masked.
+
+    mask: (B, S) key-padding mask, or (B, T, S) chunk mask
+    (mask.py:116-186 add_optional_chunk_mask output)."""
     if mask is not None:
-        scores = jnp.where(mask[:, None, None, :], scores, jnp.finfo(jnp.float32).min)
+        m = mask[:, None, None, :] if mask.ndim == 2 else mask[:, None, :, :]
+        scores = jnp.where(m, scores, jnp.finfo(jnp.float32).min)
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if mask is not None:
-        attn = jnp.where(mask[:, None, None, :], attn, 0.0)
+        attn = jnp.where(m, attn, 0.0)
     return attn
 
 
-def _rel_attention(p, x, pos_emb, mask, heads: int, compute_dtype):
-    """Transformer-XL style attention without rel_shift (attention.py:180-222)."""
+def _rel_attention(p, x, pos_emb, mask, heads: int, compute_dtype, x_q=None):
+    """Transformer-XL style attention without rel_shift (attention.py:180-222).
+
+    x_q: optional query slice (streaming forward_chunk queries only the new
+    chunk while keys/values cover cache+chunk, encoder_layer.py:220-231)."""
     b, t, d = x.shape
     dk = d // heads
 
     def proj(pp, y):
         return fnn.linear(pp, y, compute_dtype).reshape(b, -1, heads, dk)
 
-    q = proj(p["linear_q"], x)
+    q = proj(p["linear_q"], x if x_q is None else x_q)
     k = proj(p["linear_k"], x)
     v = proj(p["linear_v"], x)
     pos = fnn.linear(p["linear_pos"], pos_emb[None], compute_dtype).reshape(1, -1, heads, dk)
@@ -122,7 +140,7 @@ def _rel_attention(p, x, pos_emb, mask, heads: int, compute_dtype):
     attn = _masked_softmax(scores, mask)
     out = jnp.einsum("bhts,bshd->bthd", attn, v.astype(jnp.float32),
                      precision=jax.lax.Precision.HIGHEST)
-    out = out.reshape(b, t, d).astype(compute_dtype)
+    out = out.reshape(b, -1, d).astype(compute_dtype)
     return fnn.linear(p["linear_out"], out, compute_dtype)
 
 
@@ -155,8 +173,13 @@ def _ffn(p, x, compute_dtype):
     return fnn.linear(p["w2"], h.astype(compute_dtype), compute_dtype)
 
 
-def _conformer_layer(p, x, pos_emb, mask, heads, compute_dtype):
-    """Macaron-FF -> MHA -> Conv -> FF -> final LN (encoder_layer.py:179-268)."""
+def _conformer_layer(p, x, pos_emb, mask, heads, compute_dtype, mask_pad=None):
+    """Macaron-FF -> MHA -> Conv -> FF -> final LN (encoder_layer.py:179-268).
+
+    mask may be (B, S) padding or (B, T, S) chunk mask; the conv module always
+    uses the plain padding mask (mask_pad, defaulting to mask when 2D)."""
+    if mask_pad is None:
+        mask_pad = mask if (mask is None or mask.ndim == 2) else None
     # macaron ff (scale 0.5)
     h = fnn.layernorm(p["norm_ff_macaron"], x, eps=1e-5)
     x = x + 0.5 * _ffn(p["ff_macaron"], h, compute_dtype)
@@ -165,26 +188,18 @@ def _conformer_layer(p, x, pos_emb, mask, heads, compute_dtype):
     x = x + _rel_attention(p["attn"], h, pos_emb, mask, heads, compute_dtype)
     # conv
     h = fnn.layernorm(p["norm_conv"], x, eps=1e-5)
-    x = x + _conv_module(p["conv"], h, mask, compute_dtype)
+    x = x + _conv_module(p["conv"], h, mask_pad, compute_dtype)
     # ff
     h = fnn.layernorm(p["norm_ff"], x, eps=1e-5)
     x = x + 0.5 * _ffn(p["ff"], h, compute_dtype)
     return fnn.layernorm(p["norm_final"], x, eps=1e-5)
 
 
-def conformer_encode(
-    params: dict,
-    cfg: ConformerConfig,
-    feats: jnp.ndarray,  # (B, T, 80) kaldi fbank
-    feat_lens: jnp.ndarray,  # (B,)
-    compute_dtype=jnp.float32,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full encoder forward (encoder.py:141-208). Returns (out, out_lens)."""
-    b, t, f = feats.shape
-    mask = lens_to_mask(feat_lens, t)
-
-    x = (feats.astype(jnp.float32) - params["cmvn_mean"]) * params["cmvn_istd"]
-
+def _subsample(params: dict, cfg: ConformerConfig, x: jnp.ndarray,
+               mask: Optional[jnp.ndarray], compute_dtype):
+    """CMVN'd feats -> embed output scaled by sqrt(d) (subsampling.py:23-280
+    + the RelPositionalEncoding xscale). Returns (x, mask)."""
+    b = x.shape[0]
     spec = subsampling_spec(cfg.subsampling)
     if spec["convs"]:
         # Conv2dSubsampling{2,4,6,8}: stacked VALID conv2d+ReLU stages then a
@@ -199,7 +214,8 @@ def conformer_encode(
                 preferred_element_type=jnp.float32)
             x = jnp.maximum(x + params["embed_convs"][i]["b"], 0.0)
             # torch mask slice x_mask[:, :, :-(k-1):s] per stage
-            mask = mask[:, : -(kk - 1) : ss]
+            if mask is not None:
+                mask = mask[:, : -(kk - 1) : ss]
         bt, tt, ff_, c = x.shape
         # torch flattens channel-major: transpose(1,2).view -> (c outer, f inner)
         x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, tt, c * ff_)
@@ -208,19 +224,205 @@ def conformer_encode(
         # LinearNoSubsampling: Linear + LayerNorm (subsampling.py:23-66)
         x = fnn.linear(params["embed_out"], x.astype(compute_dtype), compute_dtype)
         x = fnn.layernorm(params["embed_ln"], x, eps=1e-5).astype(compute_dtype)
-        tt = t
+    x = x.astype(jnp.float32) * math.sqrt(cfg.output_size)
+    return x, mask
 
-    d = cfg.output_size
-    x = x.astype(jnp.float32) * math.sqrt(d)
-    pos_emb = jnp.asarray(_sinus_table(d, cfg.max_pos))[:tt]
+
+def subsequent_chunk_mask_np(size: int, chunk_size: int,
+                             num_left_chunks: int = -1) -> np.ndarray:
+    """(size, size) bool chunk-visibility mask (mask.py:78-113): row i sees
+    columns [chunk_start - left, (i//chunk+1)*chunk)."""
+    i = np.arange(size)[:, None]
+    j = np.arange(size)[None, :]
+    ending = np.minimum((i // chunk_size + 1) * chunk_size, size)
+    if num_left_chunks < 0:
+        start = np.zeros_like(i)
+    else:
+        start = np.maximum((i // chunk_size - num_left_chunks) * chunk_size, 0)
+    return (j >= start) & (j < ending)
+
+
+def make_chunk_mask(pad_mask: jnp.ndarray, chunk_size: int,
+                    num_left_chunks: int = -1) -> jnp.ndarray:
+    """(B, T, T) = padding mask AND chunk mask, the add_optional_chunk_mask
+    product (mask.py:116-186). chunk_size <= 0 means full context."""
+    t = pad_mask.shape[1]
+    if chunk_size <= 0:
+        chunk_size = t
+    cm = jnp.asarray(subsequent_chunk_mask_np(t, chunk_size, num_left_chunks))
+    return pad_mask[:, None, :] & cm[None]
+
+
+def dynamic_chunk_size(max_len: int, rng: np.random.Generator) -> int:
+    """Sample a training chunk size the way the fork does: full context half
+    the time, else [5, 11] for the 2x-subsampled encoder
+    (mask.py:157-170, this fork's `chunk_size % 7 + 1 + 4` line)."""
+    c = int(rng.integers(1, max_len))
+    if c > max_len // 2:
+        return max_len
+    return c % 7 + 1 + 4
+
+
+def sample_train_chunk_mask(cfg: ConformerConfig, t_frames: int,
+                            rng: np.random.Generator) -> np.ndarray:
+    """Host-side dynamic-chunk mask for one training batch (use_dynamic_chunk
+    semantics): a (T', T') bool array fed to conformer_encode(chunk_mask=).
+    Always returns a full-size array (all-True for full context) so the
+    jitted train step keeps one signature."""
+    tt = subsampled_time(cfg.subsampling, t_frames)
+    c = dynamic_chunk_size(tt, rng)
+    if c >= tt:
+        return np.ones((tt, tt), bool)
+    return subsequent_chunk_mask_np(tt, c)
+
+
+def conformer_encode(
+    params: dict,
+    cfg: ConformerConfig,
+    feats: jnp.ndarray,  # (B, T, 80) kaldi fbank
+    feat_lens: jnp.ndarray,  # (B,)
+    compute_dtype=jnp.float32,
+    chunk_size: int = 0,  # >0: chunked attention (static/decoding chunk)
+    num_left_chunks: int = -1,
+    chunk_mask: Optional[jnp.ndarray] = None,  # (T', T') precomputed
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full encoder forward (encoder.py:141-208). Returns (out, out_lens).
+
+    chunk_size > 0 applies the streaming chunk attention mask over the full
+    utterance (static_chunk_size / decoding_chunk_size semantics of
+    add_optional_chunk_mask, mask.py:116-186). chunk_mask passes a
+    precomputed (T', T') visibility mask instead (dynamic-chunk training:
+    sampling the size host-side keeps the jitted step to one compilation)."""
+    b, t, f = feats.shape
+    mask = lens_to_mask(feat_lens, t)
+
+    x = (feats.astype(jnp.float32) - params["cmvn_mean"]) * params["cmvn_istd"]
+    x, mask = _subsample(params, cfg, x, mask, compute_dtype)
+    tt = x.shape[1]
+    pos_emb = jnp.asarray(_sinus_table(cfg.output_size, cfg.max_pos))[:tt]
+
+    if chunk_mask is not None:
+        attn_mask = mask[:, None, :] & chunk_mask[None]
+    elif chunk_size > 0:
+        attn_mask = make_chunk_mask(mask, chunk_size, num_left_chunks)
+    else:
+        attn_mask = mask
 
     x = x.astype(compute_dtype)
     for layer_p in params["layers"]:
-        x = _conformer_layer(layer_p, x, pos_emb, mask, cfg.attention_heads, compute_dtype)
+        x = _conformer_layer(layer_p, x, pos_emb, attn_mask, cfg.attention_heads,
+                             compute_dtype, mask_pad=mask)
     x = fnn.layernorm(params["after_norm"], x, eps=1e-5)
 
     out_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
     return x, out_lens
+
+
+def conformer_forward_chunk(
+    params: dict,
+    cfg: ConformerConfig,
+    feats: jnp.ndarray,  # (1, w, feat_dim) raw fbank chunk (w = decoding window)
+    offset: int,
+    required_cache_size: int,
+    caches: Optional[dict] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, dict]:
+    """One streaming chunk (encoder.py:210-291).
+
+    caches: {"sub": (1, c, d) embed-output cache, "layers": [(1, c, d)] per
+    layer}. Subsampling left context comes from overlapping input frames, not
+    a cache (reference choice, encoder.py:308-320); the conv module runs on
+    the chunk alone (non-causal convs zero-pad at chunk edges — the exact
+    reference behavior for this fork's causal=False convs).
+    Returns (encoder output for the new chunk, updated caches).
+    """
+    assert feats.shape[0] == 1, "streaming decode is single-utterance"
+    x = (feats.astype(jnp.float32) - params["cmvn_mean"]) * params["cmvn_istd"]
+    x, _ = _subsample(params, cfg, x, None, compute_dtype)
+
+    sub_cache = caches["sub"] if caches else None
+    if sub_cache is not None:
+        cache_size = sub_cache.shape[1]
+        x = jnp.concatenate([sub_cache, x], axis=1)
+    else:
+        cache_size = 0
+    t_full = x.shape[1]
+
+    # pos table indexed from the absolute start of the cached span
+    # (encoder.py:257: position_encoding(offset - cache_size, xs.size(1)))
+    start = offset - cache_size
+    pos_emb = jnp.asarray(_sinus_table(cfg.output_size, cfg.max_pos))[
+        start : start + t_full]
+
+    if required_cache_size < 0:
+        next_cache_start = 0
+    elif required_cache_size == 0:
+        next_cache_start = t_full
+    else:
+        next_cache_start = max(t_full - required_cache_size, 0)
+
+    new_caches = {"sub": x[:, next_cache_start:], "layers": []}
+    x = x.astype(compute_dtype)
+    layer_caches = caches["layers"] if caches else [None] * len(params["layers"])
+    for layer_p, att_cache in zip(params["layers"], layer_caches):
+        x = _conformer_layer_chunk(layer_p, x, pos_emb, cfg.attention_heads,
+                                   compute_dtype, att_cache)
+        new_caches["layers"].append(x[:, next_cache_start:])
+    y = fnn.layernorm(params["after_norm"], x, eps=1e-5)
+    return y[:, cache_size:], new_caches
+
+
+def _conformer_layer_chunk(p, x, pos_emb, heads, compute_dtype, output_cache):
+    """Streaming variant of _conformer_layer (encoder_layer.py:179-268):
+    queries only the new chunk; the cached span of the output is reused
+    verbatim from the previous call's cache."""
+    h = fnn.layernorm(p["norm_ff_macaron"], x, eps=1e-5)
+    x1 = x + 0.5 * _ffn(p["ff_macaron"], h, compute_dtype)
+    h = fnn.layernorm(p["norm_mha"], x1, eps=1e-5)
+    if output_cache is None:
+        x_q, res = None, x1
+    else:
+        chunk = x.shape[1] - output_cache.shape[1]
+        x_q, res = h[:, -chunk:], x1[:, -chunk:]
+    att = _rel_attention(p["attn"], h, pos_emb, None, heads, compute_dtype,
+                         x_q=x_q)
+    x2 = res + att
+    h = fnn.layernorm(p["norm_conv"], x2, eps=1e-5)
+    x2 = x2 + _conv_module(p["conv"], h, None, compute_dtype)
+    h = fnn.layernorm(p["norm_ff"], x2, eps=1e-5)
+    x2 = x2 + 0.5 * _ffn(p["ff"], h, compute_dtype)
+    x2 = fnn.layernorm(p["norm_final"], x2, eps=1e-5)
+    if output_cache is not None:
+        x2 = jnp.concatenate([output_cache, x2], axis=1)
+    return x2
+
+
+def conformer_encode_chunk_by_chunk(
+    params: dict,
+    cfg: ConformerConfig,
+    feats: jnp.ndarray,  # (1, T, feat_dim)
+    decoding_chunk_size: int,
+    num_decoding_left_chunks: int = -1,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Streaming-style full decode (encoder.py:293-355): feed overlapping
+    windows chunk by chunk, carrying the attention caches."""
+    assert decoding_chunk_size > 0
+    spec = subsampling_spec(cfg.subsampling)
+    context = spec["right_context"] + 1
+    stride = spec["rate"] * decoding_chunk_size
+    window = (decoding_chunk_size - 1) * spec["rate"] + context
+    required = decoding_chunk_size * num_decoding_left_chunks
+
+    caches, offset, outs = None, 0, []
+    for cur in range(0, feats.shape[1] - context + 1, stride):
+        end = min(cur + window, feats.shape[1])
+        y, caches = conformer_forward_chunk(params, cfg, feats[:, cur:end],
+                                            offset, required, caches,
+                                            compute_dtype)
+        outs.append(y)
+        offset += y.shape[1]
+    return jnp.concatenate(outs, axis=1)
 
 
 # ---------------------------------------------------------------------------

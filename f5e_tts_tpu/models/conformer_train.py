@@ -59,10 +59,13 @@ def asr_loss(
     sv_weight: float = 0.0,
     sv_loss_kind: str = "softmax",
     grl_coeff: float = 1.0,
+    chunk_mask: Optional[jnp.ndarray] = None,  # (T', T') dynamic-chunk mask
 ) -> ASRLossOut:
     """loss = ppg_weight * CE + (1 - ppg_weight) * CTC, + sv_weight * SV when
-    the GRL speaker branch is on (asr_model.py:204-221)."""
-    enc, enc_lens = conformer_encode(encoder_params, cfg, feats, feat_lens, compute_dtype)
+    the GRL speaker branch is on (asr_model.py:204-221). chunk_mask enables
+    wenet use_dynamic_chunk training (sample_train_chunk_mask host-side)."""
+    enc, enc_lens = conformer_encode(encoder_params, cfg, feats, feat_lens,
+                                     compute_dtype, chunk_mask=chunk_mask)
     content = fnn.linear(encoder_params["content_linear"], enc, compute_dtype)
 
     ce = jnp.zeros((), jnp.float32)
@@ -116,7 +119,8 @@ def make_asr_train_step(cfg: ConformerConfig, optimizer, ppg_weight: float = 0.5
             p, h = trainable
             out = asr_loss(p, h, cfg, batch["feats"], batch["feat_lens"],
                            batch.get("frame_labels"), batch.get("ctc_labels"),
-                           batch.get("ctc_label_lens"), ppg_weight, compute_dtype)
+                           batch.get("ctc_label_lens"), ppg_weight, compute_dtype,
+                           chunk_mask=batch.get("chunk_mask"))
             return out.loss, out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)((params, heads))
