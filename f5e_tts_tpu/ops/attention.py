@@ -321,9 +321,21 @@ def joint_attention(
         full_mask = None
 
     # full_mask = [audio prefix | all-True text] is NOT a length prefix when
-    # any audio position is padded — the Pallas length path would attend the
-    # padded audio and mask the valid text tail. Route to flash/XLA instead.
-    o = sdpa(q, k, v, mask=full_mask, prefix_mask=False).reshape(b, n + nt, heads * dh)
+    # any audio position is padded — the plain kv_lens Pallas path would
+    # attend padded audio and mask the valid text tail (round-1 advisor
+    # high). The dedicated joint kernel takes (audio_lens, n_audio) and keeps
+    # the text tail always-valid; flash/XLA otherwise.
+    o = None
+    if _USE_PALLAS_FULLKV and mask is not None and _backend_is_tpu():
+        from f5e_tts_tpu.ops.pallas_attention import (mha_fullkv_joint_ad,
+                                                      supported)
+
+        if supported(q, k, block_q=256) and _tp_shards() == 1:
+            audio_lens = jnp.sum(mask.astype(jnp.int32), axis=-1)
+            o = mha_fullkv_joint_ad(q, k, v, audio_lens, n)
+    if o is None:
+        o = sdpa(q, k, v, mask=full_mask, prefix_mask=False)
+    o = o.reshape(b, n + nt, heads * dh)
     xo, co = o[:, :n], o[:, n:]
     xo = fnn.linear(p["to_out"], xo, compute_dtype)
     if not context_pre_only:

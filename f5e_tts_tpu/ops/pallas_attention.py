@@ -567,6 +567,100 @@ def _rope_bwd(rope_heads, res, g):
 mha_fullkv_rope_ad.defvjp(_rope_fwd, _rope_bwd)
 
 
+def _attn_joint_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *,
+                       sm_scale: float, heads: int, n_audio: int):
+    """Joint (MMDiT) attention cell: keys are [audio | text] where audio
+    validity is a length prefix and the text tail is always valid — the
+    non-prefix mask that keeps joint_attention off the plain kv_lens kernel
+    (round-1 advisor high). Column validity: col < audio_len OR col >= n_audio."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+
+    audio_len = lens_ref[pl.program_id(0) // heads]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = (col < audio_len) | (col >= n_audio)
+    s = jnp.where(valid, s, _NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(l, 1e-30)
+
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_audio", "block_q", "interpret"))
+def mha_fullkv_joint(q, k, v, audio_lens, n_audio: int, block_q: int = 256,
+                     interpret: bool = False):
+    """(B, N, H, dh) joint attention over [audio | text] keys: audio columns
+    masked beyond audio_lens (B,), text columns (>= n_audio) always valid."""
+    b, n, h, dh = q.shape
+    block_q = min(block_q, n)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    def to_bh(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_joint_kernel, sm_scale=sm_scale, heads=h,
+                          n_audio=n_audio),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, s_: (bh, 0, 0)),
+                pl.BlockSpec((1, n, dh), lambda bh, iq, s_: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(audio_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v))
+
+    return jnp.transpose(out.reshape(b, h, n, dh), (0, 2, 1, 3))
+
+
+def _reference_joint_attn(q, k, v, audio_lens, n_audio: int):
+    col = jnp.arange(k.shape[1])
+    mask = (col[None, :] < audio_lens[:, None]) | (col >= n_audio)[None, :]
+    return jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def mha_fullkv_joint_ad(q, k, v, audio_lens, n_audio):
+    return mha_fullkv_joint(q, k, v, audio_lens, n_audio)
+
+
+def _joint_fwd(q, k, v, audio_lens, n_audio):
+    return mha_fullkv_joint(q, k, v, audio_lens, n_audio), (q, k, v, audio_lens)
+
+
+def _joint_bwd(n_audio, res, g):
+    q, k, v, audio_lens = res
+    dq, dk, dv = _chunked_attn_bwd(
+        lambda q_, k_, v_: _reference_joint_attn(q_, k_, v_, audio_lens, n_audio),
+        q, k, v, g)
+    return dq, dk, dv, None
+
+
+mha_fullkv_joint_ad.defvjp(_joint_fwd, _joint_bwd)
+
+
 def supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 512) -> bool:
     """Shape gate: same q/kv length, divisible by block, dh in {64, 128},
     K+V+scores within a conservative VMEM budget."""

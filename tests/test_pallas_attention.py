@@ -167,6 +167,51 @@ def test_flash_bwd_rope_matches_reference_vjp(rng):
                                    atol=2e-3, err_msg=f"dv rope_heads={rope_heads}")
 
 
+def test_joint_kernel_matches_reference(rng):
+    """MMDiT joint mask: padded audio prefix + always-valid text tail —
+    the non-prefix mask the plain kv_lens kernel cannot express."""
+    b, n_audio, nt, h, dh = 2, 192, 64, 2, 64
+    n = n_audio + nt
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    audio_lens = jnp.asarray([n_audio, 100], jnp.int32)
+
+    ours = pa.mha_fullkv_joint(q, k, v, audio_lens, n_audio, block_q=128,
+                               interpret=True)
+    ref = pa._reference_joint_attn(q, k, v, audio_lens, n_audio)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    # padded-audio columns must NOT influence row outputs: perturb them
+    k2 = k.at[1, 100:n_audio].set(99.0)
+    v2 = v.at[1, 100:n_audio].set(-99.0)
+    ours2 = pa.mha_fullkv_joint(q, k2, v2, audio_lens, n_audio, block_q=128,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(ours2), np.asarray(ours),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_joint_ad_grads_match_reference(rng):
+    b, n_audio, nt, h, dh = 1, 128, 128, 2, 64
+    n = n_audio + nt
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    audio_lens = jnp.asarray([70], jnp.int32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(pa._reference_joint_attn(q, k, v, audio_lens, n_audio) ** 2)
+
+    # custom-vjp bwd (chunked XLA over the joint reference) vs direct grad
+    _, vjp = jax.vjp(lambda q_, k_, v_: pa._reference_joint_attn(
+        q_, k_, v_, audio_lens, n_audio), q, k, v)
+    g = 2.0 * pa._reference_joint_attn(q, k, v, audio_lens, n_audio)
+    rdq, rdk, rdv = vjp(g)
+    dq, dk, dv = pa._joint_bwd(n_audio, (q, k, v, audio_lens), g)[:3]
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-4, atol=2e-4)
+
+
 def test_bwd_supported_gate():
     q = jnp.zeros((1, 1536, 16, 64), jnp.bfloat16)
     assert pa.bwd_supported(q, q)
