@@ -226,10 +226,9 @@ def run_batch_inference(
         for j, utt in enumerate(batch.utts):
             lo, hi = int(batch.ref_mel_lens[j]), int(batch.total_mel_lens[j])
             mel_gen = out[j, lo:hi]
-            if engine.vocoder_decode is not None:
-                wav = np.asarray(engine.vocoder_decode(jnp.asarray(mel_gen[None])))[0]
-            else:
-                wav = np.zeros(mel_gen.shape[0] * hop, np.float32)
+            # length-laddered decode: eval utterance lengths are all distinct,
+            # exact shapes would recompile the vocoder per utterance
+            wav = engine.decode_mel(mel_gen)
             if 0 < batch.ref_rms[j] < target_rms:
                 wav = wav * batch.ref_rms[j] / target_rms
             faudio.write_wav(os.path.join(output_dir, f"{utt}.wav"), wav, sr)

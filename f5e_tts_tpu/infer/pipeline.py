@@ -198,10 +198,40 @@ class TTSEngine:
     # equivalent, reference run.sh stage "build engine")
     engine_dir: Optional[str] = None
     _aot_cache: dict = field(default_factory=dict, repr=False)
+    _ref_mel_cache: dict = field(default_factory=dict, repr=False)
     # dynamic batcher (serving/batcher.py); attach via enable_batching().
     # Concurrent infer() calls then coalesce chunks into one folded sampler
     # call (Triton dynamic_batching equivalent, config.pbtxt:15-18).
     batcher: Optional[object] = None
+    # vocoder length ladder: generated-mel lengths are data-dependent (the
+    # duration formula), so exact-shape decodes would JIT-compile the vocoder
+    # once per distinct utterance length. Pad to a multiple of this (with the
+    # log-mel silence floor) and trim the wav — one compile per ladder rung.
+    # 0 disables (exact-shape decode).
+    vocoder_pad_to: int = 128
+
+    def decode_mel(self, mel_gen: np.ndarray) -> np.ndarray:
+        """Vocoder decode with length bucketing. (L, D) -> (L*hop,) or
+        (B, L, D) -> (B, L*hop). Padding frames hold log(1e-5) — the mel
+        silence floor (ops/mel.py clamp) — and sit past the trim point, so
+        they only supply 'silence continues' conv context for the tail."""
+        single = mel_gen.ndim == 2
+        m = np.asarray(mel_gen, np.float32)
+        if single:
+            m = m[None]
+        b, length, d = m.shape
+        if self.vocoder_decode is None:
+            w = np.zeros((b, length * self.mel.hop_length), np.float32)
+            return w[0] if single else w
+        pad = self.vocoder_pad_to
+        if pad:
+            lp = max(-(-max(length, 1) // pad) * pad, pad)
+            if lp != length:
+                floor = float(np.log(1e-5))
+                m = np.concatenate(
+                    [m, np.full((b, lp - length, d), floor, np.float32)], axis=1)
+        wav = np.asarray(self.vocoder_decode(jnp.asarray(m)))[:, : length * self.mel.hop_length]
+        return wav[0] if single else wav
 
     def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,
                         nfe_steps: Optional[int] = None):
@@ -358,9 +388,23 @@ class TTSEngine:
         speed = speed if speed is not None else icfg.speed
         xf = cross_fade_duration if cross_fade_duration is not None else icfg.cross_fade_duration
 
-        audio, orig_rms = faudio.normalize_rms(ref_wav.astype(np.float32), icfg.target_rms)
-        audio = faudio.resample(audio, ref_sr, self.mel.target_sample_rate)
-        ref_mel = np.asarray(mel_spectrogram(jnp.asarray(audio[None, :]), self.mel))
+        # ref-mel cache: serving hits the same reference audio on every
+        # request; hashing the raw samples skips the normalize/resample/mel
+        # work (and a device round-trip) on repeats
+        import hashlib
+
+        ck = (hashlib.md5(ref_wav.tobytes()).hexdigest(), ref_sr)
+        hit = self._ref_mel_cache.get(ck)
+        if hit is None:
+            audio, orig_rms = faudio.normalize_rms(ref_wav.astype(np.float32),
+                                                   icfg.target_rms)
+            audio = faudio.resample(audio, ref_sr, self.mel.target_sample_rate)
+            ref_mel = np.asarray(mel_spectrogram(jnp.asarray(audio[None, :]), self.mel))
+            if len(self._ref_mel_cache) >= 8:
+                self._ref_mel_cache.pop(next(iter(self._ref_mel_cache)))
+            self._ref_mel_cache[ck] = (audio, orig_rms, ref_mel)
+        else:
+            audio, orig_rms, ref_mel = hit
         ref_audio_len = audio.shape[-1] // self.mel.hop_length
 
         if ref_text and len(ref_text[-1].encode("utf-8")) == 1:
@@ -398,10 +442,7 @@ class TTSEngine:
                     mel_gen = self.synthesize_chunk(
                         ref_mel, ref_text + chunk, duration, seed=seed + i,
                         nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway)
-                    if self.vocoder_decode is not None:
-                        wav = np.asarray(self.vocoder_decode(jnp.asarray(mel_gen[None])))[0]
-                    else:
-                        wav = np.zeros(mel_gen.shape[0] * self.mel.hop_length, np.float32)
+                    wav = self.decode_mel(mel_gen)
                 if 0 < orig_rms < icfg.target_rms:
                     wav = wav * orig_rms / icfg.target_rms
                 yield wav, mel_gen

@@ -122,10 +122,7 @@ def edit_speech(
                          jax.random.PRNGKey(seed), steps=nfe, cfg_strength=cfg,
                          sway_coef=sway, use_mask=True, compute_dtype=engine.compute_dtype)
     mel_out = np.asarray(out[0, :n_frames], np.float32)
-    if engine.vocoder_decode is not None:
-        wave = np.asarray(engine.vocoder_decode(jnp.asarray(mel_out[None])))[0]
-    else:
-        wave = np.zeros(n_frames * hop, np.float32)
+    wave = engine.decode_mel(mel_out)  # length-laddered vocoder decode
     return wave, sr
 
 

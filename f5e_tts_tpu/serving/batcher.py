@@ -100,7 +100,14 @@ class DynamicBatcher:
         self.batch_sizes.append(len(batch))
         eng = self.engine
         mel_dim = eng.mel.n_mel_channels
-        b = self.max_batch  # fixed batch -> one compile per bucket
+        # next power of two >= len(batch): a lone request costs single-sample
+        # compute instead of always paying max_batch (round-2 fix — the fixed
+        # max_batch pad made bs=1 latency ~max_batch x the direct path), while
+        # compiles stay bounded at log2(max_batch)+1 shapes per bucket.
+        b = 1
+        while b < len(batch):
+            b *= 2
+        b = min(b, self.max_batch)
         bucket = pick_bucket(max(r.duration for r in batch), eng.buckets)
         nt = -(-max(len(r.text_ids) for r in batch) // self.text_pad_to) * self.text_pad_to
 
@@ -129,10 +136,17 @@ class DynamicBatcher:
                              use_mask=True, seeds=jnp.asarray(seeds),
                              compute_dtype=eng.compute_dtype)
         out = np.asarray(out, np.float32)
+        # one vocoder call for the whole batch at a common ladder length
+        # (engine.decode_mel pads with the silence floor and we trim per
+        # request) — generated lengths are data-dependent, so per-request
+        # exact-shape decodes would recompile the vocoder per utterance.
+        mel_gens = [out[i, int(lens[i]) : int(durations[i])] for i in range(len(batch))]
+        lmax = max(m.shape[0] for m in mel_gens)
+        floor = float(np.log(1e-5))
+        stacked = np.full((len(batch), lmax, mel_dim), floor, np.float32)
+        for i, m in enumerate(mel_gens):
+            stacked[i, : m.shape[0]] = m
+        wavs = eng.decode_mel(stacked)
+        hop = eng.mel.hop_length
         for i, r in enumerate(batch):
-            mel_gen = out[i, int(lens[i]) : int(durations[i])]
-            if eng.vocoder_decode is not None:
-                wav = np.asarray(eng.vocoder_decode(jnp.asarray(mel_gen[None])))[0]
-            else:
-                wav = np.zeros(mel_gen.shape[0] * eng.mel.hop_length, np.float32)
-            r.future.set_result((wav, mel_gen))
+            r.future.set_result((wavs[i, : mel_gens[i].shape[0] * hop], mel_gens[i]))

@@ -65,7 +65,25 @@ def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
     concurrency 2). Reports RTF, latency percentiles, and the observed batch
     size distribution."""
     if warmup:
-        _ = engine.infer(ref_wav, ref_sr, ref_text, texts[0], nfe_steps=nfe)
+        # compile pass: run the full workload once at the measured concurrency
+        # so every (bucket, batch-size) sampler shape and vocoder ladder rung
+        # is compiled before timing (mirrors warm_up_buckets in the servers)
+        warm_q = list(texts)
+        wlock = threading.Lock()
+
+        def warm_worker():
+            while True:
+                with wlock:
+                    if not warm_q:
+                        return
+                    t = warm_q.pop()
+                engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe)
+
+        ths = [threading.Thread(target=warm_worker) for _ in range(concurrency)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
     if engine.batcher is not None:
         engine.batcher.batch_sizes.clear()
 

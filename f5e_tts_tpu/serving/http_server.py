@@ -45,8 +45,18 @@ def warm_up_buckets(engine, ref_mel: np.ndarray, ref_text: str, nfe: int,
         duration = min(bucket, engine.infer_cfg.max_duration)
         if engine.batcher is not None and nfe == engine.batcher.nfe:
             ids = engine.tokenize([ref_text + " warm up."])[0]
-            engine.batcher.submit(ref_mel[0], np.asarray(ids[ids >= 0]),
-                                  duration, seed=0).result()
+            ids = np.asarray(ids[ids >= 0])
+            # warm every power-of-two sampler batch the batcher can emit
+            # (1, 2, ..., max_batch): submit k requests at once per size
+            k = 1
+            while True:
+                futs = [engine.batcher.submit(ref_mel[0], ids, duration, seed=0)
+                        for _ in range(k)]
+                for f in futs:
+                    f.result()
+                if k >= engine.batcher.max_batch:
+                    break
+                k *= 2
         else:
             engine.synthesize_chunk(ref_mel, ref_text + " warm up.", duration,
                                     nfe_steps=nfe, seed=0)

@@ -7,6 +7,7 @@ import pytest
 
 from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
 from f5e_tts_tpu.infer.pipeline import TTSEngine, preprocess_ref_audio_text
+from f5e_tts_tpu.models import cfm as fcfm
 from f5e_tts_tpu.models import dit as fdit
 from f5e_tts_tpu.serving.batcher import DynamicBatcher
 from f5e_tts_tpu.utils.text import list_str_to_idx
@@ -41,6 +42,63 @@ def test_dynamic_batcher(engine, rng):
         assert np.isfinite(wav).all()
         assert mel_gen.shape[0] == (90 + i) - (40 + 4 * i)
     batcher.stop()
+
+
+def test_decode_mel_ladder(engine):
+    """decode_mel pads to the vocoder ladder (one compile per rung) and trims
+    the wav to the exact utterance length."""
+    shapes = []
+
+    def voc(m):
+        shapes.append(tuple(m.shape))
+        return np.ones((m.shape[0], m.shape[1] * engine.mel.hop_length), np.float32)
+
+    import dataclasses
+
+    eng = dataclasses.replace(engine, vocoder_decode=voc)
+    w = eng.decode_mel(np.zeros((70, 12), np.float32))
+    assert w.shape == (70 * eng.mel.hop_length,)
+    assert shapes[-1][1] % eng.vocoder_pad_to == 0
+    # distinct lengths within one rung share the compiled shape
+    eng.decode_mel(np.zeros((90, 12), np.float32))
+    assert shapes[-1][1] == shapes[-2][1]
+    # batch form
+    w = eng.decode_mel(np.zeros((3, 70, 12), np.float32))
+    assert w.shape == (3, 70 * eng.mel.hop_length)
+    # pad frames hold the mel silence floor, not zeros
+    captured = {}
+
+    def voc2(m):
+        captured["m"] = np.asarray(m)
+        return np.zeros((m.shape[0], m.shape[1] * eng.mel.hop_length), np.float32)
+
+    eng2 = dataclasses.replace(engine, vocoder_decode=voc2)
+    eng2.decode_mel(np.zeros((70, 12), np.float32))
+    np.testing.assert_allclose(captured["m"][0, 70:], np.log(1e-5), rtol=1e-6)
+
+
+def test_batcher_pow2_batch(engine, rng):
+    """A lone request runs at sampler batch 1, not max_batch (round-2 fix)."""
+    import f5e_tts_tpu.serving.batcher as bmod
+
+    seen = []
+    orig = fcfm.sample
+
+    def spy(params, state, arch, cfm, inputs, *a, **k):
+        seen.append(inputs.cond.shape[0])
+        return orig(params, state, arch, cfm, inputs, *a, **k)
+
+    batcher = DynamicBatcher(engine, max_batch=4, window_ms=30, nfe_steps=2)
+    ids = list_str_to_idx([list("abc")], VOCAB)[0]
+    bmod.fcfm.sample = spy
+    try:
+        ref = rng.standard_normal((40, 12)).astype(np.float32)
+        wav, mel = batcher.submit(ref, ids, duration=90).result(timeout=300)
+    finally:
+        bmod.fcfm.sample = orig
+    batcher.stop()
+    assert seen == [1], seen
+    assert mel.shape[0] == 50
 
 
 def test_preprocess_ref_audio_text():
