@@ -50,8 +50,17 @@ class DynamicBatcher:
         # observability: size of every processed batch (tests + benchmark
         # assert co-batching actually happens under concurrency)
         self.batch_sizes: List[int] = []
+        # two-stage pipeline (Triton decoupled-backend equivalent): the worker
+        # thread only collects + launches the sampler (async dispatch returns
+        # before the TPU finishes); the finisher thread blocks on the result,
+        # runs the vocoder, and resolves futures. The next batch's sampler
+        # overlaps the previous batch's vocoder + host work (~28% of the
+        # per-batch wall at NFE 16 on chip). maxsize bounds device-queue depth.
+        self.finish_queue: "queue.Queue" = queue.Queue(maxsize=2)
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
+        self.finisher = threading.Thread(target=self._finish_loop, daemon=True)
+        self.finisher.start()
 
     def submit(self, ref_mel: np.ndarray, text_ids: np.ndarray, duration: int,
                seed: int = 0) -> Future:
@@ -61,6 +70,7 @@ class DynamicBatcher:
 
     def stop(self):
         self._stop = True
+        self.finish_queue.put(None)
 
     # ------------------------------------------------------------------
 
@@ -91,6 +101,19 @@ class DynamicBatcher:
                 continue
             try:
                 self._process(batch)
+            except Exception as e:  # noqa: BLE001
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _finish_loop(self):
+        while True:
+            item = self.finish_queue.get()
+            if item is None:  # stop sentinel
+                return
+            batch, out, lens, durations = item
+            try:
+                self._finish(batch, out, lens, durations)
             except Exception as e:  # noqa: BLE001
                 for r in batch:
                     if not r.future.done():
@@ -135,6 +158,13 @@ class DynamicBatcher:
                              cfg_strength=self.cfg_strength, sway_coef=self.sway,
                              use_mask=True, seeds=jnp.asarray(seeds),
                              compute_dtype=eng.compute_dtype)
+        # hand the (still in-flight) device array to the finisher; collect the
+        # next batch while the TPU computes and the vocoder/host work drains
+        self.finish_queue.put((batch, out, lens, durations))
+
+    def _finish(self, batch: List[_Request], out, lens, durations):
+        eng = self.engine
+        mel_dim = eng.mel.n_mel_channels
         out = np.asarray(out, np.float32)
         # one vocoder call for the whole batch at a common ladder length
         # (engine.decode_mel pads with the silence floor and we trim per
