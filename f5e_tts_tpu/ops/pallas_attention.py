@@ -29,6 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _fit_block_q(n: int, block_q: int) -> int:
+    """Largest power-of-two block <= block_q that divides n (n % 128 == 0 is
+    guaranteed by supported(), so this always terminates at >= 128). Without
+    it, 768-frame buckets (768 % 512 != 0) silently fell back to XLA."""
+    block_q = min(block_q, n)
+    while n % block_q:
+        block_q //= 2
+    return block_q
+
+
 def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
                  heads: int, block_q: int, n: int):
     """One (batch*head, q-block) cell: softmax(q K^T) V with full K in VMEM."""
@@ -68,7 +78,7 @@ def mha_fullkv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     N*dh*2 (K+V per head) must fit VMEM alongside the (block_q, N) f32 scores.
     """
     b, n, h, dh = q.shape
-    block_q = min(block_q, n)
+    block_q = _fit_block_q(n, block_q)
     assert n % block_q == 0, (n, block_q)
     sm_scale = 1.0 / math.sqrt(dh)
 
@@ -156,7 +166,7 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     `rope_heads` heads (pe_attn_head semantics; pass heads for all).
     """
     b, n, h, dh = q.shape
-    block_q = min(block_q, n)
+    block_q = _fit_block_q(n, block_q)
     assert n % block_q == 0, (n, block_q)
     sm_scale = 1.0 / math.sqrt(dh)
 
@@ -271,7 +281,7 @@ def mha_fullkv_bwd(q, k, v, kv_lens, g, block_q: int = 128,
                    interpret: bool = False):
     """Pallas backward of mha_fullkv: returns (dq, dk, dv), (B, N, H, dh)."""
     b, n, h, dh = q.shape
-    block_q = min(block_q, n)
+    block_q = _fit_block_q(n, block_q)
     assert n % block_q == 0, (n, block_q)
     sm_scale = 1.0 / math.sqrt(dh)
 
@@ -383,7 +393,7 @@ def mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
                         block_q: int = 128, interpret: bool = False):
     """Pallas backward of mha_fullkv_rope: returns (dq, dk, dv)."""
     b, n, h, dh = q.shape
-    block_q = min(block_q, n)
+    block_q = _fit_block_q(n, block_q)
     assert n % block_q == 0, (n, block_q)
     sm_scale = 1.0 / math.sqrt(dh)
 
@@ -428,9 +438,9 @@ def bwd_supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 128,
     """VMEM gate for the Pallas backward (three fp32 score-sized buffers +
     fp32 dK/dV accumulators live alongside K/V)."""
     b, n, h, dh = q.shape
-    block_q = min(block_q, n)
-    if k.shape != q.shape or n % block_q or n % 128 or dh not in (64, 128):
+    if k.shape != q.shape or n % 128 or dh not in (64, 128):
         return False
+    block_q = _fit_block_q(n, block_q)
     vmem = (2 * n * dh * 2            # K, V bf16
             + 3 * block_q * n * 4     # s/p, dp, ds fp32
             + 2 * n * dh * 4          # dK, dV fp32 accumulators
@@ -605,7 +615,7 @@ def mha_fullkv_joint(q, k, v, audio_lens, n_audio: int, block_q: int = 256,
     """(B, N, H, dh) joint attention over [audio | text] keys: audio columns
     masked beyond audio_lens (B,), text columns (>= n_audio) always valid."""
     b, n, h, dh = q.shape
-    block_q = min(block_q, n)
+    block_q = _fit_block_q(n, block_q)
     assert n % block_q == 0, (n, block_q)
     sm_scale = 1.0 / math.sqrt(dh)
 
@@ -662,11 +672,12 @@ mha_fullkv_joint_ad.defvjp(_joint_fwd, _joint_bwd)
 
 
 def supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 512) -> bool:
-    """Shape gate: same q/kv length, divisible by block, dh in {64, 128},
-    K+V+scores within a conservative VMEM budget."""
+    """Shape gate: same q/kv length (a 128 multiple), dh in {64, 128},
+    K+V+scores within a conservative VMEM budget. The kernels shrink block_q
+    to the largest power of two dividing n (_fit_block_q)."""
     b, n, h, dh = q.shape
-    block_q = min(block_q, n)
-    if k.shape != q.shape or n % block_q or n % 128 or dh not in (64, 128):
+    if k.shape != q.shape or n % 128 or dh not in (64, 128):
         return False
+    block_q = _fit_block_q(n, block_q)
     vmem = n * dh * 2 * 2 + block_q * n * 4 + block_q * dh * 8
     return vmem < 12 * 1024 * 1024

@@ -77,6 +77,27 @@ def test_fused_rope_matches_reference(rng):
         np.testing.assert_allclose(ours[1, :200], ref[1, :200], rtol=2e-3, atol=2e-3)
 
 
+def test_block_q_fits_non_pow2_buckets(rng):
+    """N=768 (the 768-frame serving bucket) is not divisible by 512; the
+    kernel must shrink the block instead of falling back to XLA."""
+    assert pa._fit_block_q(768, 512) == 256
+    assert pa._fit_block_q(1280, 512) == 256
+    assert pa._fit_block_q(1536, 512) == 512
+    q = jnp.zeros((1, 768, 4, 64), jnp.bfloat16)
+    assert pa.supported(q, q)
+
+    b, n, h, dh = 1, 384, 2, 64  # 384 % 512 != 0, fits block 128
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    kv_lens = jnp.asarray([300], jnp.int32)
+    ours = np.asarray(pa.mha_fullkv_rope(
+        q, k, v, kv_lens, jnp.ones((n, dh)), jnp.zeros((n, dh)),
+        rope_heads=0, interpret=True))
+    mask = jnp.arange(n)[None, :] < kv_lens[:, None]
+    ref = np.asarray(jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, None, :]))
+    np.testing.assert_allclose(ours[0, :300], ref[0, :300], rtol=2e-3, atol=2e-3)
+
+
 def test_supported_gate():
     q = jnp.zeros((1, 1536, 16, 64), jnp.bfloat16)
     assert pa.supported(q, q)
