@@ -79,6 +79,30 @@ def _tp_shards() -> int:
     return int(mesh.shape[_TP["axis"]])
 
 
+# Sequence-parallel context: with a 'seq' mesh axis > 1, long sequences route
+# to ring attention (ops/ring_attention.py) — K/V stay sharded and rotate via
+# ppermute instead of GSPMD's all-gather. min_seq keeps short sequences on
+# the all-gather path where a single collective beats S ring steps.
+_SP = {"mesh": None, "axis": "seq", "min_seq": 2048}
+
+
+def set_sp_context(mesh, axis: str = "seq", min_seq: int = 2048) -> None:
+    """Register the mesh for ring-attention context parallelism (None clears)."""
+    _SP["mesh"] = mesh
+    _SP["axis"] = axis
+    _SP["min_seq"] = min_seq
+
+
+def _sp_shards(n: int) -> int:
+    mesh = _SP["mesh"]
+    if mesh is None or _SP["axis"] not in mesh.shape:
+        return 1
+    s = int(mesh.shape[_SP["axis"]])
+    if s <= 1 or n < _SP["min_seq"] or n % s:
+        return 1
+    return s
+
+
 def shard_heads_call(fn, q, k, v, kv_lens, *tables, mesh=None, axis=None):
     """Run a (B, N, H, dh)-layout attention kernel under shard_map with heads
     split over the TP mesh axis.
@@ -197,6 +221,25 @@ def attention(
     if qk_norm == "rms_norm":
         q = fnn.rmsnorm(p["q_norm"], q)
         k = fnn.rmsnorm(p["k_norm"], k)
+
+    # context-parallel ring attention: under a 'seq' mesh axis with long
+    # sequences, keep K/V sharded and rotate blocks over ICI instead of
+    # letting GSPMD all-gather them (full-heads rope only — partial
+    # pe_attn_head rope stays on the gather path)
+    sp = _sp_shards(n)
+    if sp > 1 and (pe_attn_head is None or rope_cos is None):
+        from f5e_tts_tpu.ops.ring_attention import ring_attention
+
+        kv_lens = (jnp.sum(mask.astype(jnp.int32), axis=-1) if mask is not None
+                   else None)
+        o = ring_attention(q, k, v, kv_lens, _SP["mesh"], axis=_SP["axis"],
+                           rope_cos=None if rope_cos is None else rope_cos[:n],
+                           rope_sin=None if rope_sin is None else rope_sin[:n])
+        o = o.reshape(b, n, heads * dh)
+        o = fnn.linear(p["to_out"], o, compute_dtype)
+        if mask is not None:
+            o = jnp.where(mask[:, :, None], o, 0.0).astype(o.dtype)
+        return o
 
     # fused rope+attention fast path (Pallas): rotation on VMEM tiles
     if (_USE_PALLAS_FULLKV and rope_cos is not None and _backend_is_tpu()):
