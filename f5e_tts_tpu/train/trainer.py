@@ -102,6 +102,12 @@ class Trainer:
             from f5e_tts_tpu.ops.attention import set_tp_context
 
             set_tp_context(self.mesh)
+        if self.mesh.shape.get("seq", 1) > 1:
+            # long sequences route through ring attention (K/V stay sharded,
+            # ppermute ring) instead of GSPMD's all-gather (ops/ring_attention)
+            from f5e_tts_tpu.ops.attention import set_sp_context
+
+            set_sp_context(self.mesh)
         self.arch = self.model_cfg.arch
         self.cfm = self.model_cfg.cfm
         self.compute_dtype = jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16" else jnp.float32
