@@ -159,6 +159,22 @@ def speed_perturb(data: Iterable[Dict], speeds: Optional[List[float]] = None,
         yield sample
 
 
+def wav_distortion(data: Iterable[Dict], distort_type: str = "quad_distortion",
+                   distort_conf: Optional[Dict] = None, rate: float = 0.1,
+                   prob: float = 0.5, rng=None) -> Iterator[Dict]:
+    """Sample-level waveform distortion (wav_distortion.py:267-290) applied
+    to a `prob` fraction of utterances."""
+    from f5e_tts_tpu.data.wav_augment import distort_wav_conf
+
+    nprng = np.random.default_rng(rng.randrange(1 << 31) if rng else None)
+    for sample in data:
+        if nprng.uniform() < prob:
+            sample["wav"] = distort_wav_conf(
+                np.asarray(sample["wav"], np.float32), distort_type,
+                distort_conf, rate=rate, rng=nprng)
+        yield sample
+
+
 def compute_fbank(data: Iterable[Dict], num_mel_bins: int = 80,
                   frame_length: int = 25, frame_shift: int = 10,
                   dither: float = 0.0) -> Iterator[Dict]:
@@ -319,6 +335,8 @@ def asr_data_pipeline(
     data = resample(data, conf.get("resample_rate", 16000))
     if training and conf.get("speed_perturb", False):
         data = speed_perturb(data, rng=rng)
+    if training and conf.get("distortion"):
+        data = wav_distortion(data, rng=rng, **conf["distortion"])
     data = compute_fbank(data, **conf.get("fbank", {}))
     if training and conf.get("spec_aug", True):
         data = spec_aug(data, rng=rng, **conf.get("spec_aug_conf", {}))

@@ -378,7 +378,10 @@ def install() -> None:
         )
 
     if "torchaudio" not in sys.modules:
-        ta = _module("torchaudio", load=_torchaudio_load)
+        # set_audio_backend: removed in torchaudio 2.x, still called by the
+        # reference wenet dataset modules — a no-op is faithful
+        ta = _module("torchaudio", load=_torchaudio_load,
+                     set_audio_backend=lambda *_a, **_k: None)
         ta.transforms = _module(
             "torchaudio.transforms", MelSpectrogram=MelSpectrogram,
             Resample=_Resample,
