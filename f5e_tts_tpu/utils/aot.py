@@ -94,3 +94,52 @@ def find_sampler_engine(engine_dir: str, nfe: int, ref_frames: int,
         if tl >= min_text_len and (best is None or tl < best[1]):
             best = (os.path.join(engine_dir, name), tl)
     return best
+
+
+def export_ppg_buckets(extractor, out_dir: str,
+                       frame_buckets: Sequence[int] = (400, 800, 1600, 3200),
+                       batch: int = 1) -> list:
+    """Export the frozen PPG extractor per fbank-length bucket.
+
+    The wenet deployment exports (bin/export_jit.py / export_onnx.py); here
+    the serialized artifact is the lowered mel->PPG computation, so offline
+    extraction and serving skip conformer JIT compilation. Call with
+    (params, feats (B, T, idim) fp32, feat_lens (B,) int32).
+    """
+    import dataclasses
+
+    paths = []
+    for t in frame_buckets:
+
+        def fn(params, feats, lens):
+            ex = dataclasses.replace(extractor, params=params)
+            return ex.mel_to_ppg(feats, lens)
+
+        args = (
+            extractor.params,
+            jnp.zeros((batch, t, extractor.cfg.input_dim), jnp.float32),
+            jnp.full((batch,), t, jnp.int32),
+        )
+        path = os.path.join(out_dir, f"ppg_b{batch}_t{t}.jaxexport")
+        export_fn(fn, args, path)
+        paths.append(path)
+    return paths
+
+
+def find_ppg_engine(engine_dir: str, batch: int, t: int):
+    """Smallest exported PPG bucket covering `t` frames at this batch size.
+    Returns (path, bucket_t) or None (caller pads feats to bucket_t)."""
+    import re
+
+    if not os.path.isdir(engine_dir):
+        return None
+    best = None
+    pat = re.compile(rf"^ppg_b{batch}_t(\d+)\.jaxexport$")
+    for name in os.listdir(engine_dir):
+        m = pat.match(name)
+        if not m:
+            continue
+        bt = int(m.group(1))
+        if bt >= t and (best is None or bt < best[1]):
+            best = (os.path.join(engine_dir, name), bt)
+    return best

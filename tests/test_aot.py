@@ -91,3 +91,36 @@ def test_engine_dir_fast_path_matches_jit(tmp_path, rng):
 
     # finder: text too long for any exported engine -> None
     assert find_sampler_engine(str(tmp_path), 2, 16, 64, min_text_len=99) is None
+
+
+def test_export_ppg_buckets(tmp_path, rng):
+    """wenet export_jit equivalent: serialized mel->PPG per length bucket
+    matches the live extractor, including the bucket lookup + pad contract."""
+    from f5e_tts_tpu.models.conformer import (ConformerConfig, PPGExtractor,
+                                              init_conformer)
+    from f5e_tts_tpu.utils.aot import (export_ppg_buckets, find_ppg_engine,
+                                       load_fn)
+
+    cfg = ConformerConfig(input_dim=8, output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=1, cnn_module_kernel=3)
+    params = init_conformer(jax.random.PRNGKey(0), cfg)
+    ex = PPGExtractor(params=params, cfg=cfg)
+
+    paths = export_ppg_buckets(ex, str(tmp_path), frame_buckets=(40, 80))
+    assert len(paths) == 2
+
+    t_true = 52
+    found = find_ppg_engine(str(tmp_path), batch=1, t=t_true)
+    assert found is not None and found[1] == 80
+    fn = load_fn(found[0])
+
+    feats = np.zeros((1, 80, 8), np.float32)
+    feats[0, :t_true] = rng.standard_normal((t_true, 8)).astype(np.float32)
+    lens = jnp.asarray([t_true], jnp.int32)
+    ppg_engine, len_engine = fn(params, jnp.asarray(feats), lens)
+    ppg_live, len_live = ex.mel_to_ppg(jnp.asarray(feats), lens)
+    np.testing.assert_array_equal(np.asarray(len_engine), np.asarray(len_live))
+    np.testing.assert_allclose(np.asarray(ppg_engine), np.asarray(ppg_live),
+                               rtol=1e-5, atol=1e-6)
+    # no bucket large enough -> None
+    assert find_ppg_engine(str(tmp_path), batch=1, t=100) is None
