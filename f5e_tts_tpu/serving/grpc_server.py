@@ -121,7 +121,13 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=4,
                    help="dynamic-batching max batch (0 disables the batcher)")
     p.add_argument("--batch_window_ms", type=float, default=20.0)
+    p.add_argument("--compilation_cache", default="",
+                   help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
+    if args.compilation_cache:
+        from f5e_tts_tpu.serving.http_server import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
 
     tts = F5TTS(model=args.model, config_file=args.config_file,
                 ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,

@@ -62,6 +62,16 @@ def warm_up_buckets(engine, ref_mel: np.ndarray, ref_text: str, nfe: int,
                                     nfe_steps=nfe, seed=0)
 
 
+def enable_compilation_cache(path: str) -> None:
+    """Persistent XLA compilation cache: server restarts reuse lowered
+    binaries instead of recompiling the bucket ladder (pairs with the
+    jax.export engine files, which skip tracing too)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 class TTSHandler(BaseHTTPRequestHandler):
     """Handlers run concurrently (ThreadingHTTPServer); no global lock —
     concurrent /tts requests coalesce in the engine's DynamicBatcher when one
@@ -153,7 +163,11 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=4,
                    help="dynamic-batching max batch (0 disables the batcher)")
     p.add_argument("--batch_window_ms", type=float, default=20.0)
+    p.add_argument("--compilation_cache", default="",
+                   help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
+    if args.compilation_cache:
+        enable_compilation_cache(args.compilation_cache)
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
                 vocoder_local_path=args.vocoder_local_path)
     wav, sr = read_wav(args.ref_audio)

@@ -142,7 +142,13 @@ def main(argv=None):
     p.add_argument("--engine_dir", default=None,
                    help="jax.export engine files (utils/aot.py) — buckets found "
                         "here load instead of JIT-compiling at startup")
+    p.add_argument("--compilation_cache", default="",
+                   help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
+    if args.compilation_cache:
+        from f5e_tts_tpu.serving.http_server import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
 
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
                 vocoder_local_path=args.vocoder_local_path,
