@@ -51,6 +51,9 @@ def main():
     text_ids = jnp.asarray(rng.integers(0, vocab, (b, 160)).astype(np.int32))
     inputs = fcfm.prepare_inputs(cond, lens, duration, n, text_ids=text_ids)
 
+    # ONE jitted graph for sampler + vocoder — an eager vocos_decode tail runs
+    # op-by-op through the dispatch path (measured ~100+ ms of pure overhead)
+    @jax.jit
     def synthesize(params, voc_params, inputs, key):
         # use_mask=True: the exact serving configuration (pipeline.py always
         # samples with the attention mask on)

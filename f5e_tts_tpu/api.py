@@ -37,9 +37,13 @@ def load_vocoder(vocoder_path: Optional[str] = None, compute_dtype=jnp.bfloat16)
         params = init_vocos(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
 
+    # jit with params as an ARGUMENT (closing over them would embed ~50 MB of
+    # constants per compile — HTTP 413 on the remote-compile path). Unjitted,
+    # the decode ran op-by-op: 131 ms per serving batch vs 0.1 ms compiled.
+    jitted = jax.jit(lambda p, m: vocos_decode(p, cfg, m, compute_dtype=compute_dtype))
+
     def decode(mel):
-        return np.asarray(vocos_decode(params, cfg, jnp.asarray(mel, compute_dtype),
-                                       compute_dtype=compute_dtype), np.float32)
+        return np.asarray(jitted(params, jnp.asarray(mel, compute_dtype)), np.float32)
 
     return decode
 

@@ -47,6 +47,7 @@ def main():
         cond, jnp.full((b,), ref_frames, jnp.int32), jnp.full((b,), total_frames, jnp.int32),
         args.bucket, text_ids=jnp.asarray(rng.integers(0, 2545, (b, 160)).astype(np.int32)))
 
+    @jax.jit
     def synth(params, voc, inputs, key):
         out, _ = fcfm.sample(params, state, arch, cfm, inputs, key, steps=args.nfe,
                              cfg_strength=2.0, sway_coef=-1.0, use_mask=True,
