@@ -70,3 +70,38 @@ def test_http_tts_roundtrip():
             assert "error" in json.loads(e.read())
     finally:
         srv.shutdown()
+
+
+def test_warm_up_buckets_covers_pow2_batch_shapes(rng):
+    """Server warm-up must compile every power-of-two sampler batch the
+    batcher can emit per bucket (1, 2, 4 for max_batch=4), so no request
+    shape compiles during serving."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
+    from f5e_tts_tpu.infer.pipeline import TTSEngine
+    from f5e_tts_tpu.models import dit as fdit
+    from f5e_tts_tpu.serving.http_server import warm_up_buckets
+
+    mel = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
+                    target_sample_rate=8000)
+    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2,
+                     mel_dim=12, text_dim=16, conv_layers=0, dropout=0.0)
+    vocab = {c: i for i, c in enumerate(" warmup.")}
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, len(vocab))
+    eng = TTSEngine(params=params, state=state, arch=arch, vocab=vocab, mel=mel,
+                    cfm=CFMConfig(),
+                    infer_cfg=InferConfig(nfe_steps=2, max_duration=256),
+                    tokenizer="char",
+                    vocoder_decode=lambda m: np.zeros(
+                        (m.shape[0], m.shape[1] * 64), np.float32),
+                    compute_dtype=jnp.float32, buckets=(128,))
+    eng.enable_batching(max_batch=4, window_ms=40.0, nfe_steps=2)
+
+    ref_mel = rng.standard_normal((1, 40, 12)).astype(np.float32)
+    warm_up_buckets(eng, ref_mel, "warm", nfe=2)
+    # every pow2 fold size was exercised at least once
+    assert {1, 2, 4} <= set(eng.batcher.batch_sizes), eng.batcher.batch_sizes
+    eng.batcher.stop()
