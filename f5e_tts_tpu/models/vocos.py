@@ -52,6 +52,25 @@ def init_vocos(key, cfg: VocosConfig):
     return params
 
 
+def istft_head(head_params, h: jnp.ndarray, n_fft: int, hop_length: int,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Vocos ISTFT head: (B, N, dim) backbone features -> (B, wav) waveform.
+
+    Linear to n_fft+2 channels, split into (log-mag, phase), exp-magnitude
+    clipped at 1e2, cos/sin phase -> real/imag spectrum -> centered ISTFT.
+    Math cross-validated against the reference's own conv-STFT export
+    (reference: runtime/triton_trtllm/scripts/export_vocoder_to_onnx.py:45-60,
+    conv_stft.py:194-232) in tests/test_oracle_crosscheck.py.
+    """
+    h = fnn.linear(head_params, h, compute_dtype)  # (B, N, n_fft + 2)
+    half = n_fft // 2 + 1
+    mag = jnp.exp(jnp.clip(h[..., :half].astype(jnp.float32), max=1e2))
+    phase = h[..., half:].astype(jnp.float32)
+    real = mag * jnp.cos(phase)
+    imag = mag * jnp.sin(phase)
+    return fmel.istft(real, imag, n_fft, hop_length, n_fft, center=True)
+
+
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def vocos_decode(params, cfg: VocosConfig, mel: jnp.ndarray,
                  compute_dtype=jnp.float32) -> jnp.ndarray:
@@ -62,14 +81,7 @@ def vocos_decode(params, cfg: VocosConfig, mel: jnp.ndarray,
     for blk in params["blocks"]:
         h = fcnx.convnext_v1(blk, h, compute_dtype=compute_dtype)
     h = fnn.layernorm(params["final_norm"], h, eps=1e-6)
-    h = fnn.linear(params["head"], h, compute_dtype)  # (B, N, n_fft + 2)
-
-    half = cfg.n_fft // 2 + 1
-    mag = jnp.exp(jnp.clip(h[..., :half].astype(jnp.float32), max=1e2))
-    phase = h[..., half:].astype(jnp.float32)
-    real = mag * jnp.cos(phase)
-    imag = mag * jnp.sin(phase)
-    return fmel.istft(real, imag, cfg.n_fft, cfg.hop_length, cfg.n_fft, center=True)
+    return istft_head(params["head"], h, cfg.n_fft, cfg.hop_length, compute_dtype)
 
 
 def vocos_from_torch(sd: Dict[str, np.ndarray], cfg: VocosConfig):
