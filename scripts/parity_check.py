@@ -231,16 +231,32 @@ def main():
         record("vocos", "skip", f"missing artifact: {os.path.join(A, 'vocos')}/"
                "{pytorch_model.bin|model.safetensors}")
     else:
-        from f5e_tts_tpu.models.vocos import VocosConfig, load_vocos, vocos_decode
-        vparams = load_vocos(voc)
-        mel_in = our_mel[:, :256] if out is None else out[:, :256]
-        wav_out = np.asarray(vocos_decode(vparams, VocosConfig(), jnp.asarray(mel_in)))
-        # no offline reference implementation of vocos itself (pip package not
-        # installed); check finiteness + energy, full parity needs the wheel
-        ok = np.isfinite(wav_out).all() and wav_out.std() > 1e-4
-        record("vocos_decode", "ok" if ok else "fail",
-               f"decoded {wav_out.shape} std={wav_out.std():.3f} "
-               "(numerical parity vs pip vocos needs the wheel; structure+keys checked)")
+        import torch as _torch
+
+        from f5e_tts_tpu.models.vocos import VocosConfig, vocos_decode, vocos_from_torch
+        from oracle import vocos_torch
+
+        vcfg = VocosConfig()
+        if voc.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            vsd = load_file(voc)
+        else:
+            vsd = {k: v.numpy() for k, v in _torch.load(
+                voc, map_location="cpu", weights_only=True).items()}
+        vparams = jax.tree.map(jnp.asarray, vocos_from_torch(vsd, vcfg))
+        mel_in = (our_mel[:, :256] if out is None else out[:, :256]).astype(np.float32)
+        wav_out = np.asarray(vocos_decode(vparams, vcfg, jnp.asarray(mel_in)))
+        # oracle: torch backbone twin + the reference's own conv-STFT head
+        # (runtime/triton_trtllm/scripts/{export_vocoder_to_onnx,conv_stft}.py,
+        # ported in tests/oracle/trt_math.py)
+        wav_ref = vocos_torch.decode(vsd, mel_in, vcfg.num_layers, vcfg.n_fft,
+                                     vcfg.hop_length)
+        n = min(wav_out.shape[1], wav_ref.shape[1])
+        scale = max(float(np.abs(wav_ref[:, :n]).max()), 1e-6)
+        record("vocos_decode", "fail",
+               f"decoded {wav_out.shape} vs conv-STFT oracle, peak={scale:.3f} "
+               "(rel max|err|)",
+               float(np.abs(wav_out[:, :n] - wav_ref[:, :n]).max()) / scale, 2e-3)
 
     # ------------------------------------------------------------------
     # stage 4: WeNet PPG extractor
@@ -248,16 +264,72 @@ def main():
     wenet = artifact(os.path.join(A, "ppg", "33.pt"), "wenet_ckpt")
     wyaml = artifact(os.path.join(A, "ppg", "train.yaml"), "wenet_yaml")
     if wenet and wyaml:
+        import importlib
+
+        import torch as _torch
+        import yaml as _yaml
+
         from f5e_tts_tpu.models.conformer import load_ppg_extractor
         extractor = load_ppg_extractor(wenet, wyaml, output_type="ppg")
+        ccfg = extractor.cfg
         rng = np.random.default_rng(2)
-        fbank = rng.standard_normal((1, 200, 80)).astype(np.float32)
-        ppg, _ = extractor.mel_to_ppg(jnp.asarray(fbank), jnp.asarray([200]))
-        ppg = np.asarray(ppg)
-        ok = np.isfinite(ppg).all()
-        record("wenet_ppg_extract", "ok" if ok else "fail",
-               f"ppg {ppg.shape} (reference torch WeNet not importable offline; "
-               "ingest + forward checked, numerics via tests/test_wenet_ingest.py)")
+        fbank = rng.standard_normal((2, 200, ccfg.input_dim)).astype(np.float32)
+        lens = np.asarray([200, 144])
+        ppg, true_len = extractor.mel_to_ppg(jnp.asarray(fbank), jnp.asarray(lens))
+        ppg, true_len = np.asarray(ppg), np.asarray(true_len)
+
+        # oracle: the ACTUAL reference ConformerEncoder built from the real
+        # train.yaml (reference: ppg/wenet/transformer/encoder.py:403-495,
+        # ppg/asr_model.py:222-244 extract = encoder -> content linear)
+        enc_mod = importlib.import_module("f5_tts.ppg.wenet.transformer.encoder")
+        cmvn_mod = importlib.import_module("f5_tts.ppg.wenet.transformer.cmvn")
+        with open(wyaml, "r", encoding="utf-8") as f:
+            wconf = _yaml.safe_load(f)
+        enc_conf = dict(wconf.get("encoder_conf", {}))
+        for k in ("dropout_rate", "positional_dropout_rate", "attention_dropout_rate"):
+            enc_conf.setdefault(k, 0.0)
+        # the fork's encoder calls rate-2 subsampling "conv2d"
+        # (encoder.py:105-106); our config accepts "conv2d2" as an alias
+        if enc_conf.get("input_layer") == "conv2d2":
+            enc_conf["input_layer"] = "conv2d"
+        gcmvn = cmvn_mod.GlobalCMVN(
+            _torch.from_numpy(np.asarray(extractor.params["cmvn_mean"])).float(),
+            _torch.from_numpy(np.asarray(extractor.params["cmvn_istd"])).float())
+        m = enc_mod.ConformerEncoder(input_size=ccfg.input_dim,
+                                     global_cmvn=gcmvn, **enc_conf)
+        m.eval()
+        wsd = _torch.load(wenet, map_location="cpu", weights_only=True)
+        esd = {k[len("encoder."):]: v for k, v in wsd.items()
+               if k.startswith("encoder.") and not k.startswith("encoder.global_cmvn")}
+        missing, unexpected = m.load_state_dict(esd, strict=False)
+        # unused-in-extract params: global_cmvn fed explicitly; concat_linear
+        # only when concat_after=True; linear_xs_embs only when a speaker
+        # embedding is passed (encoder.py:190-192)
+        missing = [k for k in missing
+                   if not k.startswith("global_cmvn")
+                   and "concat_linear" not in k
+                   and not k.startswith("linear_xs_embs")]
+        record("wenet_ckpt_keys", "fail" if (missing or unexpected) else "ok",
+               f"missing={len(missing)} unexpected={len(unexpected)}")
+        with _torch.no_grad():
+            ys, masks = m(_torch.from_numpy(fbank), _torch.from_numpy(lens),
+                          None, decoding_chunk_size=-1)
+            ref_ppg = (ys @ _torch.from_numpy(wsd["linear.weight"].numpy()).float().T
+                       + _torch.from_numpy(wsd["linear.bias"].numpy()).float()).numpy()
+        # compare per-sample valid frames only: the wrapper zeroes beyond
+        # true_len (ppg_model.py:132-141) but the encoder's own valid length
+        # (from masks) can be one frame shorter at conv edges
+        ref_lens = masks.squeeze(1).sum(-1).numpy()
+        n = min(ppg.shape[1], ref_ppg.shape[1])
+        ours_cmp = ppg[:, :n].copy()
+        ref_cmp = ref_ppg[:, :n].copy()
+        for b in range(len(lens)):
+            valid = min(int(true_len[b]), int(ref_lens[b]))
+            ours_cmp[b, valid:] = 0.0
+            ref_cmp[b, valid:] = 0.0
+        record("wenet_ppg_extract", "fail",
+               f"ppg {ppg.shape} vs reference ConformerEncoder from train.yaml",
+               float(np.abs(ours_cmp - ref_cmp).max()), 5e-3)
 
     # ------------------------------------------------------------------
     # summary

@@ -113,9 +113,16 @@ def test_parity_gate_end_to_end(tmp_path, rng):
 
     results = {r["stage"]: r for r in json.loads(report.read_text())}
     for stage in ("mel_frontend", "dit_ckpt_keys", "dit_forward_fp32",
-                  "cfm_sample_e2e_fp32", "vocos_decode", "wenet_ppg_extract"):
+                  "cfm_sample_e2e_fp32", "vocos_decode", "wenet_ckpt_keys",
+                  "wenet_ppg_extract"):
         assert stage in results, f"stage {stage} missing: {list(results)}"
         assert results[stage]["status"] == "ok", results[stage]
+
+    # every numeric stage must print a real max|err| — no finiteness-only rows
+    for stage in ("mel_frontend", "dit_forward_fp32", "cfm_sample_e2e_fp32",
+                  "vocos_decode", "wenet_ppg_extract"):
+        assert results[stage]["max_abs_err"] is not None, results[stage]
+        assert results[stage]["tol"] is not None, results[stage]
 
 
 def test_parity_gate_checklist_when_artifacts_missing(tmp_path):
