@@ -5,9 +5,11 @@ edit spans, build a frame-level edit mask (True = keep original), and run the
 sampler with `edit_mask` so only the masked spans are regenerated (the CFM
 prompt-keep mask is cond_mask & edit_mask, cfm.py:396-397).
 
-The reference derives spans from a ctc-forced-aligner; here spans are given in
-seconds (callers can use any aligner) — the masking/infilling machinery is the
-parity target.
+The reference derives spans from an external ctc-forced-aligner (its
+documented workflow, reference speech_edit.py:66-72); here spans may be given
+in seconds directly (any aligner), or derived natively from CTC posteriors
+via `token_spans_from_alignment` / `derive_edit_spans` below, built on the
+framework's own `ctc_forced_align` (models/conformer_train.py).
 """
 
 from __future__ import annotations
@@ -21,6 +23,56 @@ import numpy as np
 from f5e_tts_tpu.config import MelConfig
 from f5e_tts_tpu.models import cfm as fcfm
 from f5e_tts_tpu.ops.mel import mel_spectrogram
+
+
+def token_spans_from_alignment(
+    logprobs: np.ndarray,
+    tokens: Sequence[int],
+    frame_shift_s: float,
+    blank: int = 0,
+) -> List[Tuple[float, float]]:
+    """Per-token (start_s, end_s) spans via CTC forced alignment.
+
+    Native replacement for the reference's external ctc-forced-aligner step
+    (reference: infer/speech_edit.py:66-72 documents running
+    MahmoudAshraf97/ctc-forced-aligner by hand). logprobs: (T, V) log-softmax
+    frame posteriors; tokens: the transcript as token ids; frame_shift_s: the
+    posterior frame shift in seconds (e.g. 0.02 for the 20 ms PPG encoder).
+    """
+    from f5e_tts_tpu.models.conformer_train import ctc_forced_align
+
+    _, spath = ctc_forced_align(logprobs, tokens, blank, return_states=True)
+    spans: List[Optional[List[int]]] = [None] * len(tokens)
+    for t, s in enumerate(spath):
+        if s % 2 == 1:  # odd CTC state = label token (s-1)//2
+            u = (s - 1) // 2
+            if spans[u] is None:
+                spans[u] = [t, t + 1]
+            else:
+                spans[u][1] = t + 1
+    # forced alignment must visit every label state
+    assert all(sp is not None for sp in spans), "alignment skipped a token"
+    return [(sp[0] * frame_shift_s, sp[1] * frame_shift_s) for sp in spans]
+
+
+def derive_edit_spans(
+    logprobs: np.ndarray,
+    tokens: Sequence[int],
+    edit_token_ranges: Sequence[Tuple[int, int]],
+    frame_shift_s: float,
+    blank: int = 0,
+) -> List[Tuple[float, float]]:
+    """(start_s, end_s) edit spans for token index ranges [i0, i1] inclusive.
+
+    Glue from "which tokens to replace" to build_edit_mask's parts_to_edit:
+    each range maps to (start of its first token, end of its last token).
+    """
+    per_tok = token_spans_from_alignment(logprobs, tokens, frame_shift_s, blank)
+    out = []
+    for i0, i1 in edit_token_ranges:
+        assert 0 <= i0 <= i1 < len(per_tok), (i0, i1, len(per_tok))
+        out.append((per_tok[i0][0], per_tok[i1][1]))
+    return out
 
 
 def build_edit_mask(

@@ -266,12 +266,15 @@ def center_loss_fn(params, feats: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarr
 # ---------------------------------------------------------------------------
 
 
-def ctc_forced_align(logprobs, label, blank: int = 0):
+def ctc_forced_align(logprobs, label, blank: int = 0, return_states: bool = False):
     """Viterbi path through the CTC topology for ONE utterance.
 
     logprobs: (T, V) log-softmax frame posteriors (valid frames only);
     label: (U,) token ids. Returns the (T,) state-token sequence (blank or
     label token per frame) — the wenet alignment tool's output shape.
+    With return_states=True also returns the (T,) CTC state indices
+    (odd index s = label token (s-1)//2), which keep repeated tokens apart —
+    used by infer/speech_edit.py to derive per-token time spans.
     """
     import numpy as np
 
@@ -307,7 +310,11 @@ def ctc_forced_align(logprobs, label, blank: int = 0):
     ends = [s_len - 1] + ([s_len - 2] if s_len > 1 else [])
     s = max(ends, key=lambda e: dp[t_len - 1, e])
     path = [0] * t_len
+    spath = [0] * t_len
     for t in range(t_len - 1, -1, -1):
         path[t] = states[s]
+        spath[t] = s
         s = bp[t, s]
+    if return_states:
+        return path, spath
     return path

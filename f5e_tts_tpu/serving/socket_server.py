@@ -142,6 +142,11 @@ def main(argv=None):
     p.add_argument("--engine_dir", default=None,
                    help="jax.export engine files (utils/aot.py) — buckets found "
                         "here load instead of JIT-compiling at startup")
+    p.add_argument("--max_batch", type=int, default=4,
+                   help="dynamic-batching max batch (0 disables the batcher); "
+                        "concurrent connections co-batch like the reference's "
+                        "Triton ingress (config.pbtxt:15-18)")
+    p.add_argument("--batch_window_ms", type=float, default=20.0)
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -154,6 +159,11 @@ def main(argv=None):
                 vocoder_local_path=args.vocoder_local_path,
                 engine_dir=args.engine_dir)
     wav, sr = read_wav(args.ref_audio)
+    if args.max_batch > 0:
+        # attach before warm-up so the (max_batch, bucket) shapes compile
+        tts.engine.enable_batching(max_batch=args.max_batch,
+                                   window_ms=args.batch_window_ms,
+                                   nfe_steps=args.nfe_step)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step)
     serve(processor, args.host, args.port)
