@@ -11,6 +11,7 @@ Baseline: the reference's offline TensorRT-LLM RTF 0.0402 at NFE=16 on an L20
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -20,6 +21,13 @@ import numpy as np
 
 
 def main():
+    # optional overrides: the driver runs bare (NFE-32 bs-1 headline);
+    # --nfe 16 reproduces the reference's production serving configuration
+    # (runtime/triton_trtllm/README.md:65, RTF 0.0402 offline bs=1 on L20)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nfe", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
     from f5e_tts_tpu.config import CFMConfig, preset
     from f5e_tts_tpu.models import cfm as fcfm
     from f5e_tts_tpu.models import dit as fdit
@@ -38,11 +46,11 @@ def main():
 
     # benchmark shape: batch 1 (matching the reference's offline bs=1 RTF),
     # 10 s of generated audio after a ~5 s prompt
-    b = 1
+    b = args.batch
     hop, sr = 256, 24_000
     ref_frames, total_frames = 472, 1416  # ~5 s prompt, ~15 s total
     n = 1536  # padded bucket
-    nfe = 32
+    nfe = args.nfe
 
     rng = np.random.default_rng(0)
     cond = jnp.asarray(rng.standard_normal((b, ref_frames, arch.mel_dim)).astype(np.float32))
@@ -75,11 +83,14 @@ def main():
     wav.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
-    audio_s = total_frames * hop / sr  # full output duration (reference RTF convention)
+    # full output duration (reference RTF convention); batch>1 divides wall
+    # across every utterance produced
+    audio_s = b * total_frames * hop / sr
     rtf = dt / audio_s
-    baseline_rtf = 0.0402 * 2  # L20 TRT-LLM at NFE=16, scaled to NFE=32 cost
+    # L20 TRT-LLM at NFE=16 (README.md:65), NFE-normalized to the measured nfe
+    baseline_rtf = 0.0402 * (nfe / 16)
     print(json.dumps({
-        "metric": "rtf_nfe32_bs1",
+        "metric": f"rtf_nfe{nfe}_bs{b}",
         "value": round(rtf, 5),
         "unit": "decode_s_per_audio_s",
         "vs_baseline": round(baseline_rtf / rtf, 3),

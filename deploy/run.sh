@@ -49,11 +49,19 @@ stage_bench() {  # 4: offline + client-server benchmarks
         --ref_audio "$REF_AUDIO" --ref_text "$REF_TEXT" --nfe "$NFE"
 }
 
+stage_bench_openloop() {  # 5: open-loop (Poisson arrivals) through the batcher
+    python -m f5e_tts_tpu.serving.benchmark openloop \
+        --ckpt "$CKPT" --vocab "$VOCAB" --vocoder_local_path "$VOCODER" \
+        --ref_audio "$REF_AUDIO" --ref_text "$REF_TEXT" --nfe "$NFE" \
+        --qps "${QPS:-2.0}" --max_batch "${MAX_BATCH:-4}"
+}
+
 case "$STAGE" in
     check) stage_check ;;
     export) stage_export ;;
     serve) stage_check && stage_serve ;;
     bench) stage_check && stage_bench ;;
+    bench_openloop) stage_check && stage_bench_openloop ;;
     all) stage_check && stage_export && stage_serve ;;
-    *) echo "usage: $0 {check|export|serve|bench|all}"; exit 2 ;;
+    *) echo "usage: $0 {check|export|serve|bench|bench_openloop|all}"; exit 2 ;;
 esac

@@ -210,11 +210,16 @@ class TTSEngine:
     # 0 disables (exact-shape decode).
     vocoder_pad_to: int = 128
 
-    def decode_mel(self, mel_gen: np.ndarray) -> np.ndarray:
+    def decode_mel(self, mel_gen: np.ndarray, device_out: bool = False):
         """Vocoder decode with length bucketing. (L, D) -> (L*hop,) or
         (B, L, D) -> (B, L*hop). Padding frames hold log(1e-5) — the mel
         silence floor (ops/mel.py clamp) — and sit past the trim point, so
-        they only supply 'silence continues' conv context for the tail."""
+        they only supply 'silence continues' conv context for the tail.
+
+        device_out=True returns the UN-transferred device array (padded,
+        untrimmed) plus the trim length, so callers that want to account
+        device compute separately from device→host transfer (the serving
+        batcher's stage timings) can block and fetch themselves."""
         single = mel_gen.ndim == 2
         m = np.asarray(mel_gen, np.float32)
         if single:
@@ -222,6 +227,8 @@ class TTSEngine:
         b, length, d = m.shape
         if self.vocoder_decode is None:
             w = np.zeros((b, length * self.mel.hop_length), np.float32)
+            if device_out:
+                return jnp.asarray(w), length * self.mel.hop_length
             return w[0] if single else w
         pad = self.vocoder_pad_to
         if pad:
@@ -230,7 +237,11 @@ class TTSEngine:
                 floor = float(np.log(1e-5))
                 m = np.concatenate(
                     [m, np.full((b, lp - length, d), floor, np.float32)], axis=1)
-        wav = np.asarray(self.vocoder_decode(jnp.asarray(m)))[:, : length * self.mel.hop_length]
+        dev = self.vocoder_decode(jnp.asarray(m))
+        trim = length * self.mel.hop_length
+        if device_out:
+            return dev, trim
+        wav = np.asarray(dev)[:, :trim]
         return wav[0] if single else wav
 
     def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,

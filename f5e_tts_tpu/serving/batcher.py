@@ -50,6 +50,12 @@ class DynamicBatcher:
         # observability: size of every processed batch (tests + benchmark
         # assert co-batching actually happens under concurrency)
         self.batch_sizes: List[int] = []
+        # per-batch stage timeline (seconds): sampler device time, mel
+        # device→host transfer, vocoder device time, wav device→host transfer,
+        # host pack/slice work. The benchmark uses this to report RTF
+        # net-of-transfer (transfer = tunnel/PCIe cost that Triton's
+        # on-box clients don't pay the same way).
+        self.stage_times: List[dict] = []
         # two-stage pipeline (Triton decoupled-backend equivalent): the worker
         # thread only collects + launches the sampler (async dispatch returns
         # before the TPU finishes); the finisher thread blocks on the result,
@@ -111,9 +117,9 @@ class DynamicBatcher:
             item = self.finish_queue.get()
             if item is None:  # stop sentinel
                 return
-            batch, out, lens, durations = item
+            batch, out, lens, durations, t_launch = item
             try:
-                self._finish(batch, out, lens, durations)
+                self._finish(batch, out, lens, durations, t_launch)
             except Exception as e:  # noqa: BLE001
                 for r in batch:
                     if not r.future.done():
@@ -160,12 +166,20 @@ class DynamicBatcher:
                              compute_dtype=eng.compute_dtype)
         # hand the (still in-flight) device array to the finisher; collect the
         # next batch while the TPU computes and the vocoder/host work drains
-        self.finish_queue.put((batch, out, lens, durations))
+        import time
 
-    def _finish(self, batch: List[_Request], out, lens, durations):
+        self.finish_queue.put((batch, out, lens, durations, time.perf_counter()))
+
+    def _finish(self, batch: List[_Request], out, lens, durations,
+                t_launch: float = 0.0):
+        import time
+
         eng = self.engine
         mel_dim = eng.mel.n_mel_channels
+        jax.block_until_ready(out)
+        t_ready = time.perf_counter()
         out = np.asarray(out, np.float32)
+        t_mel = time.perf_counter()
         # one vocoder call for the whole batch at a common ladder length
         # (engine.decode_mel pads with the silence floor and we trim per
         # request) — generated lengths are data-dependent, so per-request
@@ -176,7 +190,20 @@ class DynamicBatcher:
         stacked = np.full((len(batch), lmax, mel_dim), floor, np.float32)
         for i, m in enumerate(mel_gens):
             stacked[i, : m.shape[0]] = m
-        wavs = eng.decode_mel(stacked)
+        t_pack = time.perf_counter()
+        wav_dev, trim = eng.decode_mel(stacked, device_out=True)
+        jax.block_until_ready(wav_dev)
+        t_voc = time.perf_counter()
+        wavs = np.asarray(wav_dev)[:, :trim]
+        t_wav = time.perf_counter()
         hop = eng.mel.hop_length
         for i, r in enumerate(batch):
             r.future.set_result((wavs[i, : mel_gens[i].shape[0] * hop], mel_gens[i]))
+        self.stage_times.append({
+            "fold": len(batch),
+            "sampler_s": t_ready - t_launch,
+            "mel_xfer_s": t_mel - t_ready,
+            "host_s": t_pack - t_mel,
+            "vocode_s": t_voc - t_pack,
+            "wav_xfer_s": t_wav - t_voc,
+        })

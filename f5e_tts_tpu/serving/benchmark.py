@@ -86,6 +86,7 @@ def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
             t.join()
     if engine.batcher is not None:
         engine.batcher.batch_sizes.clear()
+        engine.batcher.stage_times.clear()
 
     results = []
     lock = threading.Lock()
@@ -112,12 +113,98 @@ def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
     wall = time.perf_counter() - t0
     total_audio = sum(r[1] for r in results)
     sizes = list(engine.batcher.batch_sizes) if engine.batcher is not None else []
-    return {"mode": "concurrent", "concurrency": concurrency, "nfe": nfe,
-            "n": len(results), "rtf": wall / max(total_audio, 1e-9),
-            "audio_s": total_audio, "wall_s": wall,
-            "batch_sizes": sizes,
-            "mean_batch": float(np.mean(sizes)) if sizes else 1.0,
-            **percentile_stats([r[0] for r in results])}
+    out = {"mode": "concurrent", "concurrency": concurrency, "nfe": nfe,
+           "n": len(results), "rtf": wall / max(total_audio, 1e-9),
+           "audio_s": total_audio, "wall_s": wall,
+           "batch_sizes": sizes,
+           "mean_batch": float(np.mean(sizes)) if sizes else 1.0,
+           **percentile_stats([r[0] for r in results])}
+    out.update(stage_summary(engine, wall, total_audio))
+    return out
+
+
+def stage_summary(engine, wall: float, total_audio: float) -> dict:
+    """Aggregate the batcher's per-batch stage timeline into totals plus an
+    RTF net of device→host transfer (`mel_xfer` + `wav_xfer` are pure
+    result-fetch time: on this environment's tunneled TPU they run at
+    ~14 MB/s; on a locally-attached chip or Triton's on-box client they are
+    PCIe-speed). Conservative: the vocoder stage still *includes* its mel
+    host→device upload, and overlapped transfers (two-stage pipeline) are
+    subtracted in full even when they didn't add wall time."""
+    if engine.batcher is None or not engine.batcher.stage_times:
+        return {}
+    st = engine.batcher.stage_times
+    tot = {k: float(sum(s[k] for s in st))
+           for k in ("sampler_s", "mel_xfer_s", "host_s", "vocode_s", "wav_xfer_s")}
+    xfer = tot["mel_xfer_s"] + tot["wav_xfer_s"]
+    return {"stage_totals": {k: round(v, 4) for k, v in tot.items()},
+            "transfer_s": round(xfer, 4),
+            "rtf_net_of_transfer": round(max(wall - xfer, 0.0) / max(total_audio, 1e-9), 5)}
+
+
+def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
+                   texts: List[str], nfe: int, qps: float,
+                   seed: int = 0, warmup: bool = True) -> dict:
+    """Open-loop benchmark: Poisson arrivals at a target QPS.
+
+    The reference's benchmark (runtime/triton_trtllm/benchmark.py) and our
+    `concurrent` mode are closed-loop: N workers, next request only after the
+    previous returns, so concurrency == fold size and the two-stage pipeline
+    never has a queued next batch to overlap with. Real serving is open-loop —
+    requests arrive on their own clock while a batch is in flight. Each
+    request is launched at its scheduled arrival time regardless of
+    completion; latency is measured from the SCHEDULED arrival (so queueing
+    delay counts, the standard open-loop convention)."""
+    if warmup:
+        for t in set(texts):
+            engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe)
+        # warm the co-batched fold shapes too (pow2 ladder up to max_batch)
+        ths = [threading.Thread(target=engine.infer,
+                                args=(ref_wav, ref_sr, ref_text, texts[i % len(texts)]),
+                                kwargs={"nfe_steps": nfe})
+               for i in range(engine.batcher.max_batch if engine.batcher else 1)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+    if engine.batcher is not None:
+        engine.batcher.batch_sizes.clear()
+        engine.batcher.stage_times.clear()
+
+    rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(rng.exponential(1.0 / qps, size=len(texts)))
+    results = []
+    lock = threading.Lock()
+
+    def worker(i, text, arrive_at, t0):
+        now = time.perf_counter() - t0
+        if arrive_at > now:
+            time.sleep(arrive_at - now)
+        wav, sr, _ = engine.infer(ref_wav, ref_sr, ref_text, text, nfe_steps=nfe)
+        done = time.perf_counter() - t0
+        with lock:
+            results.append((done - arrive_at, len(wav) / sr))
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(i, t, a, t0))
+               for i, (t, a) in enumerate(zip(texts, arrivals))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    total_audio = sum(r[1] for r in results)
+    sizes = list(engine.batcher.batch_sizes) if engine.batcher is not None else []
+    out = {"mode": "openloop", "qps_offered": qps,
+           "qps_achieved": len(results) / wall, "nfe": nfe,
+           "n": len(results), "rtf": wall / max(total_audio, 1e-9),
+           "audio_s": total_audio, "wall_s": wall,
+           "throughput_utt_s": len(results) / wall,
+           "batch_sizes": sizes,
+           "mean_batch": float(np.mean(sizes)) if sizes else 1.0,
+           **percentile_stats([r[0] for r in results])}
+    out.update(stage_summary(engine, wall, total_audio))
+    return out
 
 
 def bench_server(host: str, port: int, texts: List[str], concurrency: int = 2,
@@ -184,6 +271,18 @@ def main(argv=None):
     pc.add_argument("--concurrency", type=int, default=4)
     pc.add_argument("--max_batch", type=int, default=4)
     pc.add_argument("--batch_window_ms", type=float, default=20.0)
+    pl = sub.add_parser("openloop")
+    pl.add_argument("--model", default="F5TTS_v1_Base")
+    pl.add_argument("--ckpt", default="")
+    pl.add_argument("--vocab", default="")
+    pl.add_argument("--vocoder_local_path", default=None)
+    pl.add_argument("--ref_audio", required=True)
+    pl.add_argument("--ref_text", default="some call me nature.")
+    pl.add_argument("--nfe", type=int, default=16)
+    pl.add_argument("--qps", type=float, default=2.0)
+    pl.add_argument("--requests", type=int, default=26)
+    pl.add_argument("--max_batch", type=int, default=4)
+    pl.add_argument("--batch_window_ms", type=float, default=20.0)
     ps = sub.add_parser("server")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=9998)
@@ -214,6 +313,20 @@ def main(argv=None):
         stats = bench_concurrent(tts.engine, wav, sr, args.ref_text,
                                  DEFAULT_TEXTS[:26], args.nfe,
                                  concurrency=args.concurrency)
+    elif args.mode == "openloop":
+        from f5e_tts_tpu.api import F5TTS
+        from f5e_tts_tpu.infer.audio import read_wav
+
+        tts = F5TTS(model=args.model, ckpt_file=args.ckpt, vocab_file=args.vocab,
+                    vocoder_local_path=args.vocoder_local_path)
+        if args.max_batch > 0:
+            tts.engine.enable_batching(max_batch=args.max_batch,
+                                       window_ms=args.batch_window_ms,
+                                       nfe_steps=args.nfe)
+        wav, sr = read_wav(args.ref_audio)
+        texts = (DEFAULT_TEXTS * (args.requests // len(DEFAULT_TEXTS) + 1))[: args.requests]
+        stats = bench_openloop(tts.engine, wav, sr, args.ref_text, texts,
+                               args.nfe, qps=args.qps)
     else:
         stats = bench_server(args.host, args.port, DEFAULT_TEXTS[: args.requests],
                              args.concurrency)

@@ -259,3 +259,26 @@ def test_bench_concurrent_reports_cobatching(rng):
     assert stats["batch_sizes"], "no batches recorded"
     assert max(stats["batch_sizes"]) >= 2, stats["batch_sizes"]
     assert stats["mean_batch"] > 1.0
+    # stage timeline (round-3: net-of-transfer accounting, VERDICT r2 #2)
+    assert stats["stage_totals"]["sampler_s"] > 0
+    assert 0 < stats["rtf_net_of_transfer"] <= stats["rtf"] + 1e-9
+
+
+def test_bench_openloop_poisson(rng):
+    """Open-loop benchmark: Poisson arrivals, every request served, latency
+    measured from scheduled arrival, stage/net-of-transfer stats present."""
+    from f5e_tts_tpu.serving.benchmark import bench_openloop
+
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    eng = _mk_engine()
+    eng.enable_batching(max_batch=4, window_ms=100)
+    texts = ["gh abc", "cba hg", "abc gh", "ha bc", "bc ha", "gach b"]
+    stats = bench_openloop(eng, ref, sr, "abc def", texts, nfe=2, qps=20.0,
+                           seed=1)
+    eng.batcher.stop()
+    assert stats["n"] == len(texts)
+    assert stats["qps_achieved"] > 0
+    assert stats["p50_ms"] > 0
+    assert stats["batch_sizes"]
+    assert 0 < stats["rtf_net_of_transfer"] <= stats["rtf"] + 1e-9
