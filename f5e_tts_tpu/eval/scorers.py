@@ -469,11 +469,27 @@ def load_wavlm_xvector(model_path: str) -> Callable[[str], np.ndarray]:
 
 def load_utmos(model_path: str) -> Callable[[str], float]:
     """UTMOS strong scorer (reference loads tarepan/SpeechMOS via torch.hub,
-    eval_utmos.py:10-42). Needs a local scripted checkpoint."""
+    eval_utmos.py:10-42). Needs a local checkpoint: a plain state dict runs
+    through the NATIVE JAX utmos22-strong graph (eval/utmos.py — wav2vec2
+    encoder + BiLSTM + head, oracle-tested vs transformers/torch twins); a
+    torchscript archive falls back to torch CPU execution."""
     if not os.path.exists(model_path):
         raise FileNotFoundError(
             f"UTMOS weights not found at {model_path} (offline build)")
     import torch
+
+    try:
+        sd = torch.load(model_path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        from f5e_tts_tpu.eval.utmos import (UTMOSConfig, make_native_utmos_scorer,
+                                            utmos_from_torch)
+
+        cfg = UTMOSConfig()
+        params = utmos_from_torch(sd, cfg)
+        return make_native_utmos_scorer(params, cfg)
+    except (KeyError, RuntimeError, ValueError, AttributeError):
+        pass  # torchscript archive or unexpected naming: torch fallback
 
     model = torch.jit.load(model_path).eval()
 

@@ -107,9 +107,10 @@ def conv1d(
     groups: int = 1,
     padding="SAME",
     dilation: int = 1,
+    stride: int = 1,
     compute_dtype=None,
 ) -> jnp.ndarray:
-    """1D conv over (B, N, D_in) -> (B, N, D_out), stride 1.
+    """1D conv over (B, N, D_in) -> (B, N_out, D_out).
 
     TPU note: XLA lowers 1-D convolutions extremely poorly on this target
     (measured ~100x slower than the equivalent matmuls), so the conv is
@@ -134,18 +135,22 @@ def conv1d(
     else:
         pad_lo, pad_hi = padding
     x_pad = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
-    n_out = x_pad.shape[1] - dilation * (k - 1)
+    n_out = (x_pad.shape[1] - dilation * (k - 1) - 1) // stride + 1
+
+    def tap(i):
+        # stride rides the slice step — taps stay matmuls on the MXU
+        return x_pad[:, i * dilation : i * dilation + (n_out - 1) * stride + 1 : stride, :]
 
     acc = jnp.zeros((b, n_out, d_out), jnp.float32)
     if groups == d_in and cin_g == 1:
         # depthwise: pure VPU shift-MAC
         for i in range(k):
-            acc = acc + x_pad[:, i * dilation : i * dilation + n_out, :].astype(jnp.float32) * w[i, 0, :].astype(jnp.float32)
+            acc = acc + tap(i).astype(jnp.float32) * w[i, 0, :].astype(jnp.float32)
     elif groups == 1:
         prec = _mm_precision(x.dtype)
         for i in range(k):
             acc = acc + jnp.matmul(
-                x_pad[:, i * dilation : i * dilation + n_out, :], w[i],
+                tap(i), w[i],
                 preferred_element_type=jnp.float32, precision=prec)
     else:
         g = groups
@@ -156,7 +161,8 @@ def conv1d(
         for i in range(k):
             acc = acc + jnp.einsum(
                 "bngc,cgj->bngj",
-                xg[:, i * dilation : i * dilation + n_out], wg[i],
+                xg[:, i * dilation : i * dilation + (n_out - 1) * stride + 1 : stride],
+                wg[i],
                 preferred_element_type=jnp.float32, precision=prec,
             ).reshape(b, n_out, d_out)
 
