@@ -45,6 +45,12 @@ def load_vocoder(vocoder_path: Optional[str] = None, compute_dtype=jnp.bfloat16)
     def decode(mel):
         return np.asarray(jitted(params, jnp.asarray(mel, compute_dtype)), np.float32)
 
+    # device-resident variant: mel stays on device, the wav comes back as a
+    # device array the caller blocks/fetches itself. The serving batcher uses
+    # this to vocode straight from the sampler output without the
+    # mel fetch -> host slice -> re-upload round trip (~2x the generated
+    # mel bytes over the device link per batch).
+    decode.device = lambda mel_dev: jitted(params, mel_dev.astype(compute_dtype))
     return decode
 
 

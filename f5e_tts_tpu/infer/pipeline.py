@@ -245,15 +245,18 @@ class TTSEngine:
         return wav[0] if single else wav
 
     def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,
-                        nfe_steps: Optional[int] = None):
+                        nfe_steps: Optional[int] = None, return_mel: bool = True):
         """Attach a DynamicBatcher. infer() chunks at the batcher's exact
         sampler configuration (nfe + default cfg/sway, plain-CFG mode) route
-        through it; anything else falls back to the direct jit path."""
+        through it; anything else falls back to the direct jit path.
+        return_mel=False skips the generated-mel device fetch (wav-only
+        servers)."""
         from f5e_tts_tpu.serving.batcher import DynamicBatcher
 
         self.batcher = DynamicBatcher(self, max_batch=max_batch,
                                       window_ms=window_ms, nfe_steps=nfe_steps,
-                                      text_pad_to=self.text_pad_to)
+                                      text_pad_to=self.text_pad_to,
+                                      return_mel=return_mel)
         return self.batcher
 
     def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int):
@@ -468,7 +471,8 @@ class TTSEngine:
         waves, mels = [], []
         for wav, mel_gen in gen():
             waves.append(wav)
-            mels.append(mel_gen)
+            if mel_gen is not None:  # batcher return_mel=False skips the fetch
+                mels.append(mel_gen)
         final = cross_fade_stitch(waves, self.mel.target_sample_rate, xf)
         combined_mel = np.concatenate(mels, axis=0) if mels else np.zeros((0, self.mel.n_mel_channels))
         return final, self.mel.target_sample_rate, combined_mel

@@ -14,6 +14,7 @@ import queue
 import threading
 from concurrent.futures import Future
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -22,6 +23,21 @@ import numpy as np
 
 from f5e_tts_tpu.infer.pipeline import pick_bucket
 from f5e_tts_tpu.models import cfm as fcfm
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _slice_gen(out, starts, gen_lens, L: int):
+    """Device-side window extract: row i yields out[i, starts[i]:starts[i]+L],
+    frames past gen_lens[i] replaced by the mel silence floor (ops/mel.py
+    clamp). Keeps the generated mel on device so the vocoder can run without
+    a host round trip; one compile per (batch, bucket, L)."""
+    floor = jnp.float32(float(np.log(1e-5)))
+    opad = jnp.pad(out.astype(jnp.float32), ((0, 0), (0, L), (0, 0)))
+    g = jax.vmap(
+        lambda o, s: jax.lax.dynamic_slice(o, (s, 0), (L, o.shape[-1]))
+    )(opad, starts)
+    idx = jnp.arange(L)[None, :, None]
+    return jnp.where(idx < gen_lens[:, None, None], g, floor)
 
 
 @dataclass
@@ -36,7 +52,8 @@ class _Request:
 class DynamicBatcher:
     def __init__(self, engine, max_batch: int = 4, window_ms: float = 20.0,
                  nfe_steps: Optional[int] = None, cfg_strength: Optional[float] = None,
-                 sway: Optional[float] = None, text_pad_to: int = 64):
+                 sway: Optional[float] = None, text_pad_to: int = 64,
+                 return_mel: bool = True):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
@@ -45,6 +62,9 @@ class DynamicBatcher:
         self.cfg_strength = cfg_strength if cfg_strength is not None else icfg.cfg_strength
         self.sway = sway if sway is not None else icfg.sway_sampling_coef
         self.text_pad_to = text_pad_to
+        # servers that only ship wav can skip the generated-mel fetch
+        # entirely (return_mel=False -> futures resolve (wav, None))
+        self.return_mel = return_mel
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
         # observability: size of every processed batch (tests + benchmark
@@ -176,6 +196,10 @@ class DynamicBatcher:
 
         eng = self.engine
         mel_dim = eng.mel.n_mel_channels
+        dev_decode = getattr(eng.vocoder_decode, "device", None)
+        if dev_decode is not None:
+            return self._finish_on_device(batch, out, lens, durations,
+                                          t_launch, dev_decode)
         jax.block_until_ready(out)
         t_ready = time.perf_counter()
         out = np.asarray(out, np.float32)
@@ -205,5 +229,44 @@ class DynamicBatcher:
             "mel_xfer_s": t_mel - t_ready,
             "host_s": t_pack - t_mel,
             "vocode_s": t_voc - t_pack,
+            "wav_xfer_s": t_wav - t_voc,
+        })
+
+    def _finish_on_device(self, batch: List[_Request], out, lens, durations,
+                          t_launch: float, dev_decode):
+        """Device-resident finish: slice/mask the generated region and vocode
+        WITHOUT pulling the padded mel to host first (saves ~2x the generated
+        mel bytes of device-link traffic per batch vs _finish's
+        fetch -> host pack -> re-upload)."""
+        import time
+
+        eng = self.engine
+        jax.block_until_ready(out)
+        t_ready = time.perf_counter()
+
+        gen = np.maximum(durations - lens, 1).astype(np.int32)
+        pad = eng.vocoder_pad_to or 1
+        lmax = int(gen.max())
+        L = max(-(-lmax // pad) * pad, pad)
+        mel_dev = _slice_gen(out, jnp.asarray(lens), jnp.asarray(gen), L)
+        wav_dev = dev_decode(mel_dev)
+        jax.block_until_ready(wav_dev)
+        t_voc = time.perf_counter()
+
+        wavs = np.asarray(wav_dev, np.float32)
+        t_wav = time.perf_counter()
+        mels = np.asarray(mel_dev, np.float32) if self.return_mel else None
+        t_mel = time.perf_counter()
+
+        hop = eng.mel.hop_length
+        for i, r in enumerate(batch):
+            mel_i = mels[i, : gen[i]] if mels is not None else None
+            r.future.set_result((wavs[i, : gen[i] * hop], mel_i))
+        self.stage_times.append({
+            "fold": len(batch),
+            "sampler_s": t_ready - t_launch,
+            "mel_xfer_s": t_mel - t_wav,
+            "host_s": time.perf_counter() - t_mel,
+            "vocode_s": t_voc - t_ready,
             "wav_xfer_s": t_wav - t_voc,
         })

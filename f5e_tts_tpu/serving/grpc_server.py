@@ -138,7 +138,8 @@ def main(argv=None):
         # attach before warm-up so the (max_batch, bucket) shapes compile
         tts.engine.enable_batching(max_batch=args.max_batch,
                                    window_ms=args.batch_window_ms,
-                                   nfe_steps=args.nfe_step)
+                                   nfe_steps=args.nfe_step,
+                                   return_mel=False)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step,
                                       warm_up=not args.no_warmup)

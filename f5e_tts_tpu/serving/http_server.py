@@ -127,7 +127,7 @@ def serve(engine, ref_audio, ref_sr, ref_text, host="0.0.0.0", port=8000, nfe=32
           warm=True, max_batch: int = 4, batch_window_ms: float = 20.0):
     if max_batch > 0 and engine.batcher is None:
         engine.enable_batching(max_batch=max_batch, window_ms=batch_window_ms,
-                               nfe_steps=nfe)
+                               nfe_steps=nfe, return_mel=False)
     if warm:
         import jax.numpy as jnp
 

@@ -264,6 +264,60 @@ def test_bench_concurrent_reports_cobatching(rng):
     assert 0 < stats["rtf_net_of_transfer"] <= stats["rtf"] + 1e-9
 
 
+def test_batcher_device_finish_matches_host(rng):
+    """The device-resident finish (_finish_on_device: slice/mask + vocode on
+    device, no mel round trip) produces the same wav + mel as the host path."""
+    import dataclasses
+
+    def mk(with_device):
+        def voc_host(m):
+            return np.asarray(m, np.float32).mean(-1).repeat(64, -1)
+
+        if with_device:
+            voc_host.device = lambda m: jnp.repeat(jnp.mean(
+                m.astype(jnp.float32), axis=-1), 64, axis=-1)
+        eng = _mk_engine()
+        return dataclasses.replace(eng, vocoder_decode=voc_host)
+
+    ids_a = list_str_to_idx([list("abc gh")], VOCAB)[0]
+    ids_b = list_str_to_idx([list("h gfe")], VOCAB)[0]
+    ref_a = rng.standard_normal((40, 12)).astype(np.float32)
+    ref_b = rng.standard_normal((48, 12)).astype(np.float32)
+
+    outs = {}
+    for tag, dev in (("host", False), ("dev", True)):
+        eng = mk(dev)
+        batcher = DynamicBatcher(eng, max_batch=4, window_ms=500, nfe_steps=2)
+        fa = batcher.submit(ref_a, ids_a, duration=100, seed=5)
+        fb = batcher.submit(ref_b, ids_b, duration=90, seed=9)
+        outs[tag] = (fa.result(timeout=300), fb.result(timeout=300))
+        assert 2 in batcher.batch_sizes  # actually co-batched
+        keys = set(batcher.stage_times[-1])
+        assert {"sampler_s", "vocode_s", "wav_xfer_s", "mel_xfer_s"} <= keys
+        batcher.stop()
+
+    for (wav_h, mel_h), (wav_d, mel_d) in zip(outs["host"], outs["dev"]):
+        assert mel_h.shape == mel_d.shape
+        np.testing.assert_allclose(mel_d, mel_h, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(wav_d, wav_h, rtol=1e-5, atol=1e-6)
+
+
+def test_batcher_return_mel_false(rng):
+    """return_mel=False: futures resolve (wav, None), infer() still returns
+    a wav and an empty spec."""
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    eng = _mk_engine()
+    eng.vocoder_decode.device = lambda m: jnp.asarray(
+        np.asarray(m, np.float32).mean(-1).repeat(64, -1))
+    eng.enable_batching(max_batch=4, window_ms=10, return_mel=False)
+    wav, out_sr, spec = eng.infer(ref, sr, "abc def", "gh abc", seed=3)
+    eng.batcher.stop()
+    assert eng.batcher.batch_sizes, "request never went through the batcher"
+    assert np.isfinite(wav).all() and len(wav) > 0
+    assert spec.shape[0] == 0  # no mel fetched
+
+
 def test_bench_openloop_poisson(rng):
     """Open-loop benchmark: Poisson arrivals, every request served, latency
     measured from scheduled arrival, stage/net-of-transfer stats present."""
