@@ -58,7 +58,13 @@ def estimate_duration(ref_audio_len: int, ref_text: str, gen_text: str,
     return ref_audio_len + int(ref_audio_len / ref_bytes * gen_bytes / speed)
 
 
-DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 3072, 4096)
+# 256-frame rungs through the common serving range (~2.7 s per 256 frames),
+# coarser beyond: masked padding frames still cost sampler FLOPs, so a
+# missing rung taxes every request that lands just above the previous one
+# (e.g. duration 1130 on a 1024->1536 ladder pays 26% padding compute).
+# More rungs = more one-time warm-up compiles (persist via
+# --compilation_cache / engine files).
+DEFAULT_BUCKETS = (256, 512, 768, 1024, 1280, 1536, 1792, 2048, 3072, 4096)
 
 
 def pick_bucket(duration: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:

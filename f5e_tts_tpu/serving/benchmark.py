@@ -156,17 +156,24 @@ def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
     completion; latency is measured from the SCHEDULED arrival (so queueing
     delay counts, the standard open-loop convention)."""
     if warmup:
+        # fold-1 per distinct text (covers every bucket the workload hits)
         for t in set(texts):
             engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe)
-        # warm the co-batched fold shapes too (pow2 ladder up to max_batch)
-        ths = [threading.Thread(target=engine.infer,
-                                args=(ref_wav, ref_sr, ref_text, texts[i % len(texts)]),
-                                kwargs={"nfe_steps": nfe})
-               for i in range(engine.batcher.max_batch if engine.batcher else 1)]
-        for t in ths:
-            t.start()
-        for t in ths:
-            t.join()
+        # then EVERY pow2 fold shape the batcher can emit (open-loop arrivals
+        # produce folds 1..max_batch; an unwarmed fold = an XLA compile
+        # inside the measurement)
+        k = 2
+        while engine.batcher is not None and k <= engine.batcher.max_batch:
+            ths = [threading.Thread(target=engine.infer,
+                                    args=(ref_wav, ref_sr, ref_text,
+                                          texts[i % len(texts)]),
+                                    kwargs={"nfe_steps": nfe})
+                   for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            k *= 2
     if engine.batcher is not None:
         engine.batcher.batch_sizes.clear()
         engine.batcher.stage_times.clear()
