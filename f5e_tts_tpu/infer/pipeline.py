@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -73,6 +74,22 @@ def pick_bucket(duration: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
         if duration <= b:
             return b
     return buckets[-1]
+
+
+@partial(jax.jit, static_argnames=("L",))
+def slice_gen(out, starts, gen_lens, L: int):
+    """Device-side window extract: row i yields out[i, starts[i]:starts[i]+L],
+    frames past gen_lens[i] replaced by the mel silence floor (ops/mel.py
+    clamp). Keeps the generated mel on device so the vocoder can run without
+    a host round trip; one compile per (batch, bucket, L). Used by both the
+    serving batcher finish and the direct infer path."""
+    floor = jnp.float32(float(np.log(1e-5)))
+    opad = jnp.pad(out.astype(jnp.float32), ((0, 0), (0, L), (0, 0)))
+    g = jax.vmap(
+        lambda o, s: jax.lax.dynamic_slice(o, (s, 0), (L, o.shape[-1]))
+    )(opad, starts)
+    idx = jnp.arange(L)[None, :, None]
+    return jnp.where(idx < gen_lens[:, None, None], g, floor)
 
 
 def cross_fade_stitch(waves: List[np.ndarray], sr: int, cross_fade_duration: float) -> np.ndarray:
@@ -325,8 +342,14 @@ class TTSEngine:
         alpha_txt: float = 1.0,
         alpha_ppg: float = 1.0,
         ppg: Optional[np.ndarray] = None,
-    ) -> np.ndarray:
-        """One jitted sampler call on a static bucket -> generated mel (frames, d)."""
+        device_out: bool = False,
+    ):
+        """One jitted sampler call on a static bucket -> generated mel (frames, d).
+
+        device_out=True returns (out_device (1, bucket, d), ref_frames,
+        duration) WITHOUT fetching — the caller slices/vocodes on device
+        (infer's direct path pairs it with slice_gen + vocoder_decode.device
+        to skip the mel host round trip)."""
         icfg = self.infer_cfg
         nfe = nfe_steps if nfe_steps is not None else icfg.nfe_steps
         cfg = cfg_strength if cfg_strength is not None else icfg.cfg_strength
@@ -338,6 +361,9 @@ class TTSEngine:
         duration = max(duration, text_ids.shape[1] + 1, ref_frames + 1)
         duration = min(duration, icfg.max_duration)
         bucket = pick_bucket(duration, self.buckets)
+        # the largest bucket caps duration (the host path's out[rf:duration]
+        # numpy slice clamped implicitly; the device path must clamp too)
+        duration = min(duration, bucket)
 
         nt = min(-(-text_ids.shape[1] // self.text_pad_to) * self.text_pad_to, bucket)
         padded = np.full((1, nt), -1, np.int32)
@@ -356,6 +382,8 @@ class TTSEngine:
                          jnp.asarray([ref_frames], jnp.int32),
                          jnp.asarray([duration], jnp.int32), jnp.asarray(wide),
                          jnp.asarray([seed], jnp.int32))
+                if device_out:
+                    return out, ref_frames, duration
                 out = np.asarray(out[0], np.float32)
                 return out[ref_frames:duration]
 
@@ -379,6 +407,8 @@ class TTSEngine:
             out, _ = fcfm.sample(self.params, self.state, self.arch, self.cfm, inputs,
                                  key, steps=nfe, cfg_strength=cfg, sway_coef=sway,
                                  use_mask=True, compute_dtype=self.compute_dtype)
+        if device_out:
+            return out, ref_frames, duration
         out = np.asarray(out[0], np.float32)
         return out[ref_frames:duration]  # generated region only (utils_infer.py:495)
 
@@ -459,10 +489,27 @@ class TTSEngine:
                                               seed=seed + i)
                     wav, mel_gen = fut.result()
                 else:
-                    mel_gen = self.synthesize_chunk(
-                        ref_mel, ref_text + chunk, duration, seed=seed + i,
-                        nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway)
-                    wav = self.decode_mel(mel_gen)
+                    dev_decode = getattr(self.vocoder_decode, "device", None)
+                    if dev_decode is not None:
+                        # device-resident: slice + vocode without pulling the
+                        # padded mel to host and re-uploading it
+                        out_dev, rf, dur = self.synthesize_chunk(
+                            ref_mel, ref_text + chunk, duration, seed=seed + i,
+                            nfe_steps=nfe_steps, cfg_strength=cfg_strength,
+                            sway=sway, device_out=True)
+                        gl = dur - rf
+                        pad = self.vocoder_pad_to or 1
+                        L = max(-(-gl // pad) * pad, pad)
+                        mel_dev = slice_gen(out_dev, jnp.asarray([rf], jnp.int32),
+                                            jnp.asarray([gl], jnp.int32), L)
+                        wav = np.asarray(dev_decode(mel_dev),
+                                         np.float32)[0, : gl * self.mel.hop_length]
+                        mel_gen = np.asarray(mel_dev, np.float32)[0, :gl]
+                    else:
+                        mel_gen = self.synthesize_chunk(
+                            ref_mel, ref_text + chunk, duration, seed=seed + i,
+                            nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway)
+                        wav = self.decode_mel(mel_gen)
                 if 0 < orig_rms < icfg.target_rms:
                     wav = wav * orig_rms / icfg.target_rms
                 yield wav, mel_gen

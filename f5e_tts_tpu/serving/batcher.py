@@ -21,23 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from f5e_tts_tpu.infer.pipeline import pick_bucket
+from f5e_tts_tpu.infer.pipeline import pick_bucket, slice_gen as _slice_gen
 from f5e_tts_tpu.models import cfm as fcfm
-
-
-@partial(jax.jit, static_argnames=("L",))
-def _slice_gen(out, starts, gen_lens, L: int):
-    """Device-side window extract: row i yields out[i, starts[i]:starts[i]+L],
-    frames past gen_lens[i] replaced by the mel silence floor (ops/mel.py
-    clamp). Keeps the generated mel on device so the vocoder can run without
-    a host round trip; one compile per (batch, bucket, L)."""
-    floor = jnp.float32(float(np.log(1e-5)))
-    opad = jnp.pad(out.astype(jnp.float32), ((0, 0), (0, L), (0, 0)))
-    g = jax.vmap(
-        lambda o, s: jax.lax.dynamic_slice(o, (s, 0), (L, o.shape[-1]))
-    )(opad, starts)
-    idx = jnp.arange(L)[None, :, None]
-    return jnp.where(idx < gen_lens[:, None, None], g, floor)
 
 
 @dataclass

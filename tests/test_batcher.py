@@ -302,6 +302,25 @@ def test_batcher_device_finish_matches_host(rng):
         np.testing.assert_allclose(wav_d, wav_h, rtol=1e-5, atol=1e-6)
 
 
+def test_direct_path_device_decode_matches_host(rng):
+    """infer() WITHOUT a batcher: the device-resident decode (synthesize_chunk
+    device_out + slice_gen + vocoder.device) returns the same wav/spec as the
+    host fetch -> decode_mel path."""
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+
+    host_eng = _mk_engine()
+    wav_h, _, mel_h = host_eng.infer(ref, sr, "abc def", "gh abc", seed=3)
+
+    dev_eng = _mk_engine()
+    dev_eng.vocoder_decode.device = lambda m: jnp.repeat(jnp.mean(
+        m.astype(jnp.float32), axis=-1), 64, axis=-1)
+    wav_d, _, mel_d = dev_eng.infer(ref, sr, "abc def", "gh abc", seed=3)
+
+    np.testing.assert_allclose(mel_d, mel_h, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(wav_d, wav_h, rtol=1e-5, atol=1e-6)
+
+
 def test_batcher_return_mel_false(rng):
     """return_mel=False: futures resolve (wav, None), infer() still returns
     a wav and an empty spec."""
