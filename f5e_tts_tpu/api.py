@@ -70,6 +70,7 @@ class F5TTS:
         engine_dir: Optional[str] = None,
         asr_model: Optional[str] = None,  # local whisper dir (or F5E_ASR_MODEL)
         model_cfg: Optional[dict] = None,  # arch overrides for custom ckpts
+        quantize: Optional[str] = None,  # "int8": W8A8 DiT trunk (ops/quant.py)
     ):
         self.asr_model = asr_model
         self.model_cfg: ModelConfig = load_yaml(config_file) if config_file else preset(model)
@@ -103,6 +104,14 @@ class F5TTS:
             params, state = fbb.init_backbone(jax.random.PRNGKey(0), arch, vocab_size)
         params = jax.tree.map(
             lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, params)
+        if quantize == "int8":
+            # EXPERIMENTAL single-chip serving path: int8 MXU for the DiT
+            # trunk's big matmuls (2x bf16 peak on v5e); not TP-shardable
+            from f5e_tts_tpu.ops.quant import quantize_dit_params
+
+            params = quantize_dit_params(params)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
         cfm = CFMConfig(ode_method=ode_method)
         # pinyin tokenizer needs a vocab map; fall back to char when absent

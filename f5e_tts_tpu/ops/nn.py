@@ -87,6 +87,10 @@ def _mm_precision(dtype):
 
 
 def linear(p, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized weights (ops/quant.py, serving opt-in)
+        from f5e_tts_tpu.ops.quant import int8_linear
+
+        return int8_linear(p, x, compute_dtype)
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
