@@ -51,6 +51,24 @@ def load_vocoder(vocoder_path: Optional[str] = None, compute_dtype=jnp.bfloat16)
     # mel fetch -> host slice -> re-upload round trip (~2x the generated
     # mel bytes over the device link per batch).
     decode.device = lambda mel_dev: jitted(params, mel_dev.astype(compute_dtype))
+
+    # fused slice+vocode: ONE dispatch extracts each row's generated window
+    # from the padded sampler output AND decodes it (dispatch round trips are
+    # ~10-20 ms each through a tunneled device; XLA also fuses the mask into
+    # the vocoder's first ops instead of materializing the sliced mel).
+    # Returns (wav_dev, mel_dev) — fetch only what the caller needs.
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("L",))
+    def _sliced(p, out, starts, gen_lens, L):
+        from f5e_tts_tpu.infer.pipeline import slice_gen_core
+
+        mel = slice_gen_core(out, starts, gen_lens, L)
+        return vocos_decode(p, cfg, mel.astype(compute_dtype),
+                            compute_dtype=compute_dtype), mel
+
+    decode.device_sliced = lambda out, starts, gen_lens, L: _sliced(
+        params, out, starts, gen_lens, L)
     return decode
 
 

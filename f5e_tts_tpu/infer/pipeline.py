@@ -76,13 +76,9 @@ def pick_bucket(duration: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     return buckets[-1]
 
 
-@partial(jax.jit, static_argnames=("L",))
-def slice_gen(out, starts, gen_lens, L: int):
-    """Device-side window extract: row i yields out[i, starts[i]:starts[i]+L],
-    frames past gen_lens[i] replaced by the mel silence floor (ops/mel.py
-    clamp). Keeps the generated mel on device so the vocoder can run without
-    a host round trip; one compile per (batch, bucket, L). Used by both the
-    serving batcher finish and the direct infer path."""
+def slice_gen_core(out, starts, gen_lens, L: int):
+    """Traceable core of slice_gen (composable into larger jitted graphs,
+    e.g. the fused slice+vocode dispatch in api.load_vocoder)."""
     floor = jnp.float32(float(np.log(1e-5)))
     opad = jnp.pad(out.astype(jnp.float32), ((0, 0), (0, L), (0, 0)))
     g = jax.vmap(
@@ -90,6 +86,16 @@ def slice_gen(out, starts, gen_lens, L: int):
     )(opad, starts)
     idx = jnp.arange(L)[None, :, None]
     return jnp.where(idx < gen_lens[:, None, None], g, floor)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def slice_gen(out, starts, gen_lens, L: int):
+    """Device-side window extract: row i yields out[i, starts[i]:starts[i]+L],
+    frames past gen_lens[i] replaced by the mel silence floor (ops/mel.py
+    clamp). Keeps the generated mel on device so the vocoder can run without
+    a host round trip; one compile per (batch, bucket, L). Used by both the
+    serving batcher finish and the direct infer path."""
+    return slice_gen_core(out, starts, gen_lens, L)
 
 
 def cross_fade_stitch(waves: List[np.ndarray], sr: int, cross_fade_duration: float) -> np.ndarray:

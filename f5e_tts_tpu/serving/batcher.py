@@ -233,8 +233,13 @@ class DynamicBatcher:
         pad = eng.vocoder_pad_to or 1
         lmax = int(gen.max())
         L = max(-(-lmax // pad) * pad, pad)
-        mel_dev = _slice_gen(out, jnp.asarray(lens), jnp.asarray(gen), L)
-        wav_dev = dev_decode(mel_dev)
+        fused = getattr(eng.vocoder_decode, "device_sliced", None)
+        if fused is not None:
+            # one dispatch: slice+mask+vocode in a single compiled graph
+            wav_dev, mel_dev = fused(out, jnp.asarray(lens), jnp.asarray(gen), L)
+        else:
+            mel_dev = _slice_gen(out, jnp.asarray(lens), jnp.asarray(gen), L)
+            wav_dev = dev_decode(mel_dev)
         jax.block_until_ready(wav_dev)
         t_voc = time.perf_counter()
 

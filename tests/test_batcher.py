@@ -269,13 +269,21 @@ def test_batcher_device_finish_matches_host(rng):
     device, no mel round trip) produces the same wav + mel as the host path."""
     import dataclasses
 
-    def mk(with_device):
+    def mk(variant):
         def voc_host(m):
             return np.asarray(m, np.float32).mean(-1).repeat(64, -1)
 
-        if with_device:
+        if variant in ("dev", "fused"):
             voc_host.device = lambda m: jnp.repeat(jnp.mean(
                 m.astype(jnp.float32), axis=-1), 64, axis=-1)
+        if variant == "fused":
+            from f5e_tts_tpu.infer.pipeline import slice_gen_core
+
+            def fused(out, starts, gens, L):
+                mel = slice_gen_core(out, starts, gens, L)
+                return jnp.repeat(jnp.mean(mel, axis=-1), 64, axis=-1), mel
+
+            voc_host.device_sliced = fused
         eng = _mk_engine()
         return dataclasses.replace(eng, vocoder_decode=voc_host)
 
@@ -285,8 +293,8 @@ def test_batcher_device_finish_matches_host(rng):
     ref_b = rng.standard_normal((48, 12)).astype(np.float32)
 
     outs = {}
-    for tag, dev in (("host", False), ("dev", True)):
-        eng = mk(dev)
+    for tag in ("host", "dev", "fused"):
+        eng = mk(tag)
         batcher = DynamicBatcher(eng, max_batch=4, window_ms=500, nfe_steps=2)
         fa = batcher.submit(ref_a, ids_a, duration=100, seed=5)
         fb = batcher.submit(ref_b, ids_b, duration=90, seed=9)
@@ -296,10 +304,11 @@ def test_batcher_device_finish_matches_host(rng):
         assert {"sampler_s", "vocode_s", "wav_xfer_s", "mel_xfer_s"} <= keys
         batcher.stop()
 
-    for (wav_h, mel_h), (wav_d, mel_d) in zip(outs["host"], outs["dev"]):
-        assert mel_h.shape == mel_d.shape
-        np.testing.assert_allclose(mel_d, mel_h, rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(wav_d, wav_h, rtol=1e-5, atol=1e-6)
+    for variant in ("dev", "fused"):
+        for (wav_h, mel_h), (wav_d, mel_d) in zip(outs["host"], outs[variant]):
+            assert mel_h.shape == mel_d.shape, variant
+            np.testing.assert_allclose(mel_d, mel_h, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(wav_d, wav_h, rtol=1e-5, atol=1e-6)
 
 
 def test_direct_path_device_decode_matches_host(rng):
