@@ -17,8 +17,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# persistent compilation cache makes repeated test runs compile-free
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# persistent compilation cache makes repeated test runs compile-free.
+# The dir is keyed by a host-CPU fingerprint: serialized XLA:CPU executables
+# are machine-specific, and this environment's VMs migrate between machine
+# types — reloading an executable cached on a different host SIGILLs/aborts
+# inside deserialize (observed as fatal crashes in compilation_cache.py).
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((l for l in _f if l.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_fp = hashlib.md5(_flags.encode()).hexdigest()[:8]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
