@@ -136,7 +136,18 @@ class Trainer:
             params = jax.device_put(params, NamedSharding(self.mesh, P()))
         self.optimizer = fstep.make_optimizer(
             self.train_cfg, total_updates, num_replicas=self.mesh.shape["data"])
-        return fstep.init_train_state(params, model_state, self.optimizer)
+        ts = fstep.init_train_state(params, model_state, self.optimizer)
+        # Commit every leaf to the mesh (scalar counters and eagerly-derived
+        # EMA/opt leaves are otherwise uncommitted) so the first step call's
+        # jit signature matches the steady state — an uncommitted-vs-committed
+        # mismatch forces a second full compile of the step.
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._canonical_sharding(x)), ts)
+
+    def _canonical_sharding(self, x) -> NamedSharding:
+        sh = getattr(x, "sharding", None)
+        spec = sh.spec if isinstance(sh, NamedSharding) else P()
+        return NamedSharding(self.mesh, spec)
 
     def make_step(self):
         mel_cfg = self.model_cfg.mel
@@ -158,7 +169,24 @@ class Trainer:
             return fstep.apply_gradients(ts, loss, out, grads, optimizer=optimizer,
                                          ema=ema, grad_accum=grad_accum)
 
-        return jax.jit(full_step, donate_argnums=(0,))
+        # Pin the train-state shardings (captured from the first call's state)
+        # for both input and output. Without this, GSPMD picks its own output
+        # shardings for the new state — which differ from init_state's
+        # dit_param_spec placement — so the SECOND step call recompiles the
+        # whole graph (~30 s at Small scale) against the new signature.
+        jitted = None
+
+        def step(ts, batch, rng):
+            nonlocal jitted
+            if jitted is None:
+                state_sh = jax.tree.map(self._canonical_sharding, ts)
+                jitted = jax.jit(full_step, donate_argnums=(0,),
+                                 in_shardings=(state_sh, None, None),
+                                 out_shardings=(state_sh, None))
+            return jitted(ts, batch, rng)
+
+        step.lower = lambda *args: jitted.lower(*args)  # for cost analysis
+        return step
 
     # ------------------------------------------------------------------
     # checkpointing (reference semantics: trainer.py:150-263)
