@@ -104,14 +104,9 @@ def main():
     fwd = analytic_fwd_flops(model_cfg.arch, b, n, args.text_len)
     model_flops = 3.0 * fwd
     peak = 197e12  # v5e bf16 peak FLOP/s
-    hw_flops = None
-    try:
-        lowered = step.lower(ts, batch, key)
-        cost = lowered.compile().cost_analysis()
-        if cost and "flops" in cost:
-            hw_flops = float(cost["flops"])
-    except Exception:
-        pass
+    # NOTE: XLA cost_analysis() flops are not meaningful through the axon
+    # tunnel (measured far below the analytic model flops), so no hw-MFU
+    # figure is reported — mfu_model_pct (3x analytic fwd) is the number.
 
     sr, hop = model_cfg.mel.target_sample_rate, model_cfg.mel.hop_length
     out = {
@@ -125,8 +120,6 @@ def main():
         "chips_for_ref_global_batch": -(-153_600 // frames),
         "loss": round(float(metrics.loss), 4),
     }
-    if hw_flops:
-        out["mfu_hw_pct"] = round(100 * hw_flops / (dt * peak), 2)
     print(json.dumps(out))
 
 
