@@ -90,6 +90,12 @@ class DiTConfig:
     pe_attn_head: Optional[int] = None  # rope only on first N heads (F5TTS_Base legacy)
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
+    # remat policy when checkpoint_activations: "block" recomputes the whole
+    # block in the backward; "save_attn" additionally saves each block's
+    # attention output (B*N*dim bf16 per layer, ~41 MB at Base b12 n1664) so
+    # the backward recompute skips the attention kernel — measured ~10% step
+    # win at Base (the kernel is VPU-softmax-bound, the priciest recompute).
+    remat_policy: str = "block"
     dropout: float = 0.1
     ppg: PPGConfig = field(default_factory=PPGConfig)
     codebook: CodebookConfig = field(default_factory=CodebookConfig)

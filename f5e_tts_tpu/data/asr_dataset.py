@@ -7,9 +7,10 @@ torchaudio): audio IO via infer/audio, fbank via ops/kaldi (the same frontend
 the frozen extractor uses), shapes padded to a multiple for TPU compile
 stability (our addition; the reference pads to the batch max).
 
-Divergence noted: speed_perturb uses linear resampling instead of the sox
-"speed" effect (sox is not available offline); same semantic (tempo+pitch
-shift by rate r), different interpolation.
+Divergence noted: speed_perturb realizes the sox "speed" effect (resample-
+playback) with a kaiser-windowed polyphase resampler instead of sox's rate
+converter (sox is not available offline); same semantics, near-identical
+passband response.
 """
 
 from __future__ import annotations
@@ -144,8 +145,12 @@ def resample(data: Iterable[Dict], resample_rate: int = 16000) -> Iterator[Dict]
 
 def speed_perturb(data: Iterable[Dict], speeds: Optional[List[float]] = None,
                   rng: Optional[_random.Random] = None) -> Iterator[Dict]:
-    """Random tempo change per utterance (processor.py:254-293; sox 'speed'
-    replaced by linear resampling)."""
+    """Random tempo change per utterance (processor.py:254-293). The sox
+    'speed' effect is resample-playback (pitch+tempo shift by rate r, i.e.
+    reinterpret the signal at sr*r then resample back to sr); we do the same
+    with a kaiser-windowed polyphase resampler (scipy resample_poly) instead
+    of sox's internal rate converter — same semantics, near-identical
+    passband, different stopband ripple."""
     from f5e_tts_tpu.infer.audio import resample as _resample
 
     speeds = speeds or [0.9, 1.0, 1.1]

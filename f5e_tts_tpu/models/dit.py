@@ -331,7 +331,15 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
         return h, None
 
     if cfg.checkpoint_activations:
-        body = jax.checkpoint(body)
+        if getattr(cfg, "remat_policy", "block") == "save_attn":
+            # keep each block's named attention output (ops/attention.py
+            # tags it "attn_out") so the backward recompute rebuilds q/k/v
+            # via cheap matmuls but skips re-running the attention kernel
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+        else:
+            body = jax.checkpoint(body)
 
     x, _ = jax.lax.scan(body, x, (blocks, layer_rngs))
 

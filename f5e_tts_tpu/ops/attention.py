@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from f5e_tts_tpu.ops import nn as fnn
+from jax.ad_checkpoint import checkpoint_name
+
 from f5e_tts_tpu.ops.rope import apply_rotary_half as apply_rotary
 
 
@@ -235,6 +237,7 @@ def attention(
         o = ring_attention(q, k, v, kv_lens, _SP["mesh"], axis=_SP["axis"],
                            rope_cos=None if rope_cos is None else rope_cos[:n],
                            rope_sin=None if rope_sin is None else rope_sin[:n])
+        o = checkpoint_name(o, "attn_out")
         o = o.reshape(b, n, heads * dh)
         o = fnn.linear(p["to_out"], o, compute_dtype)
         if mask is not None:
@@ -263,6 +266,7 @@ def attention(
             else:
                 o = mha_fullkv_rope_ad(q, k, v, kv_lens, rope_cos[:n], rope_sin[:n],
                                        rope_heads)
+            o = checkpoint_name(o, "attn_out")
             o = o.reshape(b, n, heads * dh)
             o = fnn.linear(p["to_out"], o, compute_dtype)
             if mask is not None:
@@ -283,6 +287,7 @@ def attention(
             k = apply_rotary(k, cos, sin)
 
     o = sdpa(q, k, v, mask=mask)
+    o = checkpoint_name(o, "attn_out")
     o = o.reshape(b, n, heads * dh)
     o = fnn.linear(p["to_out"], o, compute_dtype)
     if mask is not None:

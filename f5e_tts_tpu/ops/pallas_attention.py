@@ -60,12 +60,15 @@ def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(l, 1e-30)
 
+    # normalize AFTER p@v: one (block_q, dh) divide instead of (block_q, n) —
+    # the softmax is the kernel's VPU bottleneck (exp/reduces over n^2), and
+    # the fp32-accumulate-then-divide is also slightly more accurate than
+    # dividing in bf16 before the matmul
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / jnp.maximum(l, 1e-30)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -146,12 +149,13 @@ def _attn_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, cos_q_ref, sin_q_ref,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(l, 1e-30)
 
+    # normalize AFTER p@v (see header): one (block_q, dh) divide instead of
+    # (block_q, n) — the VPU softmax passes dominate this kernel's time
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / jnp.maximum(l, 1e-30)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -600,12 +604,13 @@ def _attn_joint_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(l, 1e-30)
 
+    # normalize AFTER p@v (see header): one (block_q, dh) divide instead of
+    # (block_q, n) — the VPU softmax passes dominate this kernel's time
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / jnp.maximum(l, 1e-30)
     o_ref[0] = o.astype(o_ref.dtype)
 
 

@@ -54,6 +54,8 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--text_len", type=int, default=256)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat_policy", default="block",
+                   choices=["block", "save_attn"])
     args = p.parse_args()
 
     import dataclasses
@@ -62,7 +64,8 @@ def main():
     if not args.no_remat:
         model_cfg = dataclasses.replace(
             model_cfg, arch=dataclasses.replace(model_cfg.arch,
-                                                checkpoint_activations=True))
+                                                checkpoint_activations=True,
+                                                remat_policy=args.remat_policy))
     train_cfg = TrainConfig(
         learning_rate=7.5e-5, num_warmup_updates=10,
         batch_size_per_device=args.batch * args.length,

@@ -149,3 +149,37 @@ def test_gradients_flow(rng):
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     # proj_out grad must be nonzero (zero-init but gradient flows)
     assert np.abs(np.asarray(grads["proj_out"]["w"])).max() > 0
+
+
+def test_remat_policies_same_loss_and_grads(rng):
+    """checkpoint_activations with remat_policy in {block, save_attn} must be a
+    pure memory/time tradeoff: identical loss and gradients (save_attn keeps the
+    named "attn_out" residuals so the backward skips the attention recompute)."""
+    import dataclasses
+
+    from f5e_tts_tpu.config import CFMConfig
+    from f5e_tts_tpu.models import cfm as fcfm
+
+    base = dataclasses.replace(TINY, checkpoint_activations=True)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), base, VOCAB)
+    cfm_cfg = CFMConfig()
+    mel = jnp.asarray(rng.standard_normal((2, 96, TINY.mel_dim)).astype(np.float32))
+    mel_lens = jnp.asarray([96, 70], jnp.int32)
+    text_ids = jnp.asarray(rng.integers(0, VOCAB, (2, 12)).astype(np.int32))
+    text_lens = jnp.asarray([12, 9], jnp.int32)
+
+    def loss_for(cfg):
+        def f(p):
+            out = fcfm.cfm_loss(p, state, cfg, cfm_cfg, mel=mel,
+                                mel_lens=mel_lens, text_ids=text_ids,
+                                text_lens=text_lens, rng=jax.random.PRNGKey(7),
+                                training=True, compute_dtype=jnp.float32)
+            return out.loss
+        return jax.value_and_grad(f)(params)
+
+    l1, g1 = loss_for(base)
+    l2, g2 = loss_for(dataclasses.replace(base, remat_policy="save_attn"))
+    assert float(l1) == float(l2)
+    md = max(jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)))
+    assert md < 1e-5, md
