@@ -27,6 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nfe", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
+    # opt-in W8A8 trunk quantization (ops/quant.py) — the api.py
+    # F5TTS(quantize="int8") serving path, reproducible from the bench CLI
+    ap.add_argument("--quantize", choices=["int8"], default=None)
     args = ap.parse_args()
     from f5e_tts_tpu.config import CFMConfig, preset
     from f5e_tts_tpu.models import cfm as fcfm
@@ -40,6 +43,9 @@ def main():
 
     params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, vocab)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
+    if args.quantize == "int8":
+        from f5e_tts_tpu.ops.quant import quantize_dit_params
+        params = quantize_dit_params(params)
     voc_cfg = VocosConfig()
     voc_params = init_vocos(jax.random.PRNGKey(1), voc_cfg)
     voc_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, voc_params)
