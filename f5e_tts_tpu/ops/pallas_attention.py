@@ -30,26 +30,32 @@ _NEG_INF = -1e30
 
 
 def _fit_block_q(n: int, block_q: int) -> int:
-    """Largest power-of-two block <= block_q that divides n (n % 128 == 0 is
-    guaranteed by supported(), so this always terminates at >= 128). Without
-    it, 768-frame buckets (768 % 512 != 0) silently fell back to XLA."""
+    """Largest block <= block_q that divides n and is a multiple of 16 (the
+    bf16 sublane tile). n % 128 == 0 is guaranteed by supported(), so this
+    always terminates at >= 128. Non-power-of-two divisors matter: training
+    buckets like n=1664 = 128*13 would otherwise drop to block_q=128 (13 grid
+    cells per head), while 416 divides it with 4x fewer cells."""
     block_q = min(block_q, n)
-    while n % block_q:
-        block_q //= 2
-    return block_q
+    for cand in range(block_q - block_q % 16, 15, -16):
+        if n % cand == 0:
+            return cand
+    return 128
 
 
 def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
                  heads: int, block_q: int, n: int):
     """One (batch*head, q-block) cell: softmax(q K^T) V with full K in VMEM."""
-    q = q_ref[0]  # (block_q, dh)
+    # fold sm_scale into the (block_q, dh) q tile instead of scaling the
+    # (block_q, n) score tile — n/dh x less VPU work (fp32 upcast keeps the
+    # fold exact-enough for non-power-of-two scales, i.e. dh=128)
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     k = k_ref[0]  # (n, dh)
     v = v_ref[0]  # (n, dh)
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale  # (block_q, n)
+    )  # (block_q, n)
 
     bh = pl.program_id(0)
     b = bh // heads
@@ -120,27 +126,37 @@ def _rot_half(x):
 
 
 def _attn_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, cos_q_ref, sin_q_ref,
-                      cos_k_ref, sin_k_ref, o_ref, *, sm_scale: float, heads: int,
-                      rope_heads: int, n: int):
+                      cos_k_ref, sin_k_ref, o_ref, krot_ref, *, sm_scale: float,
+                      heads: int, rope_heads: int, n: int):
     """Fused rope + attention: rotation happens on VMEM-resident tiles, saving
-    the HBM round-trips of a standalone rope op (profiled ~142 ms/synth)."""
+    the HBM round-trips of a standalone rope op (profiled ~142 ms/synth).
+
+    The full-K rotation is hoisted into a VMEM scratch written once per
+    (batch*head) at iq == 0 — without it every q-block cell re-rotated the
+    whole (n, dh) K (13 redundant rotations per head at n=1664/block_q=128,
+    ~1 ms/layer of pure VPU waste at Base training shapes). sm_scale is folded
+    into the small q tile (exact for power-of-two scales, i.e. dh=64)."""
     bh = pl.program_id(0)
     h_idx = bh % heads
+    use_rope = h_idx < rope_heads
+
+    @pl.when(pl.program_id(1) == 0)
+    def _rotate_k():
+        kf = k_ref[0].astype(jnp.float32)  # (n, dh)
+        kr = kf * cos_k_ref[...] + _rot_half(kf) * sin_k_ref[...]
+        krot_ref[...] = jnp.where(use_rope, kr, kf).astype(krot_ref.dtype)
 
     q = q_ref[0].astype(jnp.float32)  # (block_q, dh)
-    k = k_ref[0].astype(jnp.float32)  # (n, dh)
     v = v_ref[0]
 
     qr = q * cos_q_ref[...] + _rot_half(q) * sin_q_ref[...]
-    kr = k * cos_k_ref[...] + _rot_half(k) * sin_k_ref[...]
-    use_rope = h_idx < rope_heads
-    q = jnp.where(use_rope, qr, q).astype(v.dtype)
-    k = jnp.where(use_rope, kr, k).astype(v.dtype)
+    q = (jnp.where(use_rope, qr, q) * sm_scale).astype(v.dtype)
+    k = krot_ref[...]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale
+    )
 
     kv_len = kv_len_ref[bh // heads]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -193,10 +209,13 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pl.BlockSpec((n, dh), lambda bh, iq, s_: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0)),
+            scratch_shapes=[pltpu.VMEM((n, dh), q.dtype)],
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # iq must run in grid order: the rotated-K scratch is written at
+            # iq == 0 and read by the later q-blocks of the same head
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v),
@@ -231,7 +250,10 @@ def _attn_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
     bh = pl.program_id(0)
     kv_len = kv_len_ref[bh // heads]
 
-    q = q_ref[0]                     # (bq, dh)
+    # sm_scale folds into the small q tile: with q' = sm_scale*q the chain
+    # rule gives dk = dS^T q' directly, and dq = (dS k) * sm_scale post-scaled
+    # on the small dq tile — no (bq, n)-sized scale pass.
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     k = k_ref[0]                     # (n, dh)
     v = v_ref[0]                     # (n, dh)
     do = do_ref[0]                   # (bq, dh)
@@ -239,33 +261,39 @@ def _attn_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                     # (bq, n) fp32
+    )                                # (bq, n) fp32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    pt = jnp.exp(s - m)              # unnormalized p~; p = p~ / l
+    linv = 1.0 / jnp.maximum(jnp.sum(pt, axis=-1, keepdims=True), 1e-30)
 
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                # (bq, n) fp32
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)   # = rowsum(dO ∘ O)
-    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
-    pb = p.astype(q.dtype)
+    # delta = rowsum(p ∘ dp) = linv * rowsum(p~ ∘ dp); the explicit p = p~/l
+    # divide pass over (bq, n) is gone — 1/l folds into the row-broadcast
+    # factors of the single fused dS pass and the small dO tile below.
+    delta = linv * jnp.sum(pt * dp, axis=-1, keepdims=True)
+    ds = (pt * (dp - delta) * linv).astype(q.dtype)
+    pb = pt.astype(q.dtype)
+    dol = (do.astype(jnp.float32) * linv).astype(do.dtype)
 
     dq = jax.lax.dot_general(
         ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) * sm_scale
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
     dk_c = jax.lax.dot_general(
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                # (n, dh) fp32
+    # dv = p^T dO = (p~ linv)^T dO = p~^T (dO ∘ linv): row-scale the small
+    # (bq, dh) dO tile instead of the (bq, n) score tile
     dv_c = jax.lax.dot_general(
-        pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        pb, dol, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -322,74 +350,91 @@ def mha_fullkv_bwd(q, k, v, kv_lens, g, block_q: int = 128,
 
 def _attn_bwd_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
                           cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
-                          dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                          dq_ref, dk_ref, dv_ref, krot_ref, *, sm_scale: float,
                           heads: int, rope_heads: int):
     """Backward with rope fused: rotate q/k on entry (same as the fwd kernel),
     run the standard backward on rotated tensors, then pull dq/dk back through
     the rotation adjoint: f(x) = cos∘x + sin∘rot_half(x) has
-    f^T(g) = cos∘g − rot_half(sin∘g)."""
+    f^T(g) = cos∘g − rot_half(sin∘g).
+
+    Same VPU-economy moves as the fwd kernel: the full-K rotation is hoisted
+    into scratch (written once per head at iq == 0), sm_scale folds into the
+    small q tile (dk = dS^T q' is then directly correct; dq post-scales), the
+    explicit p-normalize pass is replaced by folding 1/l into the dS pass and
+    the small dO tile, and the dK rope adjoint is applied ONCE to the fp32
+    accumulator at the last q-block instead of per cell."""
     iq = pl.program_id(1)
     bh = pl.program_id(0)
     h_idx = bh % heads
     kv_len = kv_len_ref[bh // heads]
     use_rope = h_idx < rope_heads
+    dtype = q_ref.dtype
+
+    cos_q, sin_q = cos_q_ref[...], sin_q_ref[...]
+
+    @pl.when(iq == 0)
+    def _rotate_k():
+        kf = k_ref[0].astype(jnp.float32)
+        kr = kf * cos_k_ref[...] + _rot_half(kf) * sin_k_ref[...]
+        krot_ref[...] = jnp.where(use_rope, kr, kf).astype(krot_ref.dtype)
 
     qf = q_ref[0].astype(jnp.float32)
-    kf = k_ref[0].astype(jnp.float32)
-    cos_q, sin_q = cos_q_ref[...], sin_q_ref[...]
-    cos_k, sin_k = cos_k_ref[...], sin_k_ref[...]
     qr = jnp.where(use_rope, qf * cos_q + _rot_half(qf) * sin_q, qf)
-    kr = jnp.where(use_rope, kf * cos_k + _rot_half(kf) * sin_k, kf)
-    dtype = q_ref.dtype
-    q = qr.astype(dtype)
-    k = kr.astype(dtype)
+    q = (qr * sm_scale).astype(dtype)
+    k = krot_ref[...]
     v = v_ref[0]
     do = do_ref[0]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale
+    )
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    pt = jnp.exp(s - m)              # unnormalized p~; p = p~ / l
+    linv = 1.0 / jnp.maximum(jnp.sum(pt, axis=-1, keepdims=True), 1e-30)
 
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * sm_scale).astype(dtype)
-    pb = p.astype(dtype)
+    delta = linv * jnp.sum(pt * dp, axis=-1, keepdims=True)
+    ds = (pt * (dp - delta) * linv).astype(dtype)
+    pb = pt.astype(dtype)
+    dol = (do.astype(jnp.float32) * linv).astype(do.dtype)
 
     dqr = jax.lax.dot_general(
         ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) * sm_scale
     dkr = jax.lax.dot_general(
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dv_c = jax.lax.dot_general(
-        pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        pb, dol, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     dq = jnp.where(use_rope, dqr * cos_q - _rot_half(dqr * sin_q), dqr)
-    dk_c = jnp.where(use_rope, dkr * cos_k - _rot_half(dkr * sin_k), dkr)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
     @pl.when(iq == 0)
     def _init():
-        dk_ref[0] = dk_c
+        dk_ref[0] = dkr          # rotated-frame accumulation; adjoint below
         dv_ref[0] = dv_c
 
     @pl.when(iq > 0)
     def _accum():
-        dk_ref[0] += dk_c
+        dk_ref[0] += dkr
         dv_ref[0] += dv_c
+
+    @pl.when(iq == pl.num_programs(1) - 1)
+    def _adjoint_dk():
+        acc = dk_ref[0]
+        cos_k, sin_k = cos_k_ref[...], sin_k_ref[...]
+        dk_ref[0] = jnp.where(use_rope, acc * cos_k - _rot_half(acc * sin_k), acc)
 
 
 @functools.partial(jax.jit, static_argnames=("rope_heads", "block_q", "interpret"))
@@ -417,6 +462,7 @@ def mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
             in_specs=[bh_spec_q, bh_spec_full, bh_spec_full, bh_spec_q,
                       rope_q, rope_q, rope_k, rope_k],
             out_specs=[bh_spec_q, bh_spec_full, bh_spec_full],
+            scratch_shapes=[pltpu.VMEM((n, dh), q.dtype)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
@@ -450,7 +496,7 @@ def bwd_supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 128,
             + 2 * n * dh * 4          # dK, dV fp32 accumulators
             + 3 * block_q * dh * 4)   # q, dO, dq
     if rope:
-        vmem += 2 * (n + block_q) * dh * 4
+        vmem += 2 * (n + block_q) * dh * 4 + n * dh * 2  # cos/sin + K scratch
     return vmem < 12 * 1024 * 1024
 
 
@@ -511,10 +557,21 @@ def _fullkv_fwd(q, k, v, kv_lens):
     return mha_fullkv(q, k, v, kv_lens), (q, k, v, kv_lens)
 
 
+def _bwd_block_q(q, k, rope: bool):
+    """Largest VMEM-fitting backward block request: 256 measured ~10% faster
+    than 128 at training shapes (n=1664: 6.50 -> 5.87 ms); fall back to 128
+    for long buckets where the three (block_q, n) fp32 buffers won't fit."""
+    for bq in (256, 128):
+        if bwd_supported(q, k, block_q=bq, rope=rope):
+            return bq
+    return None
+
+
 def _fullkv_bwd(res, g):
     q, k, v, kv_lens = res
-    if bwd_supported(q, k):
-        dq, dk, dv = mha_fullkv_bwd(q, k, v, kv_lens, g)
+    bq = _bwd_block_q(q, k, rope=False)
+    if bq is not None:
+        dq, dk, dv = mha_fullkv_bwd(q, k, v, kv_lens, g, block_q=bq)
     else:
         dq, dk, dv = _chunked_attn_bwd(
             lambda q_, k_, v_: _reference_attn(q_, k_, v_, kv_lens), q, k, v, g)
@@ -536,9 +593,10 @@ def _rope_fwd(q, k, v, kv_lens, cos, sin, rope_heads):
 
 def _rope_bwd(rope_heads, res, g):
     q, k, v, kv_lens, cos, sin = res
-    if bwd_supported(q, k, rope=True):
+    bq = _bwd_block_q(q, k, rope=True)
+    if bq is not None:
         dq, dk, dv = mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g,
-                                         rope_heads)
+                                         rope_heads, block_q=bq)
         return dq, dk, dv, None, None, None
     h = q.shape[2]
     chunk = max(1, min(h, _BWD_HEAD_CHUNK))
@@ -587,14 +645,14 @@ def _attn_joint_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *,
     validity is a length prefix and the text tail is always valid — the
     non-prefix mask that keeps joint_attention off the plain kv_lens kernel
     (round-1 advisor high). Column validity: col < audio_len OR col >= n_audio."""
-    q = q_ref[0]
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale
+    )
 
     audio_len = lens_ref[pl.program_id(0) // heads]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)

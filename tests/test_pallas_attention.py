@@ -80,9 +80,13 @@ def test_fused_rope_matches_reference(rng):
 def test_block_q_fits_non_pow2_buckets(rng):
     """N=768 (the 768-frame serving bucket) is not divisible by 512; the
     kernel must shrink the block instead of falling back to XLA."""
-    assert pa._fit_block_q(768, 512) == 256
-    assert pa._fit_block_q(1280, 512) == 256
+    assert pa._fit_block_q(768, 512) == 384
+    assert pa._fit_block_q(1280, 512) == 320
     assert pa._fit_block_q(1536, 512) == 512
+    # non-power-of-two divisors: 1664 = 128*13 gets 416 (4 cells), not 128
+    assert pa._fit_block_q(1664, 512) == 416
+    assert pa._fit_block_q(1664, 128) == 128
+    assert pa._fit_block_q(1664, 1000) == 832
     q = jnp.zeros((1, 768, 4, 64), jnp.bfloat16)
     assert pa.supported(q, q)
 
