@@ -169,9 +169,12 @@ class InferConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh axes for GSPMD. data = DP, model = TP, seq = SP/CP."""
+    """Device mesh axes for GSPMD. data = DP, fsdp = ZeRO-3-style fully
+    sharded DP (params/grads/optimizer state sharded, all-gathered per layer),
+    model = TP, seq = SP/CP. Batches shard over (data, fsdp) jointly."""
 
     data: int = -1  # -1: all remaining devices
+    fsdp: int = 1
     model: int = 1
     seq: int = 1
 

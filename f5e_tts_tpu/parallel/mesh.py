@@ -3,6 +3,11 @@
 Axes:
 - "data": batch / data parallelism (replaces Accelerate DDP,
   reference trainer.py:63-68; gradient all-reduce becomes implicit in pjit)
+- "fsdp": fully-sharded data parallelism (ZeRO-3): batches shard over it like
+  "data", but params/grads/optimizer state are ALSO sharded over it —
+  GSPMD all-gathers each layer's weights at use and reduce-scatters its
+  grads, cutting per-chip state memory by the axis size. (The torch
+  reference has no equivalent; its DDP replicates optimizer state.)
 - "model": tensor parallelism over attention heads / FFN hidden
   (replaces TRT-LLM --tp_size engine splits, convert_checkpoint.py:16-23)
 - "seq": sequence/context parallelism over mel frames
@@ -25,11 +30,13 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     n = len(devices)
     model = max(cfg.model, 1)
     seq = max(cfg.seq, 1)
-    data = cfg.data if cfg.data > 0 else n // (model * seq)
-    need = data * model * seq
-    assert need <= n, f"mesh {data}x{model}x{seq} needs {need} devices, have {n}"
-    arr = np.asarray(devices[:need]).reshape(data, model, seq)
-    return Mesh(arr, axis_names=("data", "model", "seq"))
+    fsdp = max(getattr(cfg, "fsdp", 1), 1)
+    data = cfg.data if cfg.data > 0 else n // (fsdp * model * seq)
+    need = data * fsdp * model * seq
+    assert need <= n, (
+        f"mesh {data}x{fsdp}x{model}x{seq} needs {need} devices, have {n}")
+    arr = np.asarray(devices[:need]).reshape(data, fsdp, model, seq)
+    return Mesh(arr, axis_names=("data", "fsdp", "model", "seq"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -37,9 +44,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int, seq_axis: Optional[int] = None) -> NamedSharding:
-    """Shard dim 0 over 'data' (and optionally one dim over 'seq')."""
+    """Shard dim 0 over ('data', 'fsdp') (and optionally one dim over 'seq')."""
     spec = [None] * ndim
-    spec[0] = "data"
+    spec[0] = ("data", "fsdp") if "fsdp" in mesh.axis_names else "data"
     if seq_axis is not None:
         spec[seq_axis] = "seq"
     return NamedSharding(mesh, P(*spec))
@@ -50,16 +57,22 @@ def batch_sharding(mesh: Mesh, ndim: int, seq_axis: Optional[int] = None) -> Nam
 # ---------------------------------------------------------------------------
 
 
-def dit_param_spec(cfg: DiTConfig) -> dict:
+def dit_param_spec(cfg: DiTConfig, fsdp: bool = False) -> dict:
     """PartitionSpec pytree for DiT params (matching init_dit structure).
 
     TP layout (Megatron-style, what TRT-LLM's split_q_tp/split_matrix_tp do —
     convert_checkpoint.py:16-23): qkv/ff1 column-parallel on the output dim,
     out-proj/ff2 row-parallel on the input dim. Block params carry a leading
     depth axis (lax.scan stacking), hence the extra None.
+
+    fsdp=True additionally shards each block matrix's non-TP dim over the
+    'fsdp' mesh axis (ZeRO-3: optimizer moments and EMA inherit the sharding,
+    so per-chip state memory drops by the axis size; GSPMD all-gathers a
+    layer's weights at use inside the scan and reduce-scatters its grads).
     """
-    col = P(None, None, "model")  # stacked (depth, in, out): shard out
-    row = P(None, "model", None)  # stacked (depth, in, out): shard in
+    f = "fsdp" if fsdp else None
+    col = P(None, f, "model")  # stacked (depth, in, out): shard out
+    row = P(None, "model", f)  # stacked (depth, in, out): shard in
     vec_col = P(None, "model")  # stacked bias of column-parallel layer
 
     def rep(tree):

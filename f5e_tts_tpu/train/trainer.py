@@ -128,14 +128,16 @@ class Trainer:
             params, model_state = backbone_from_torch(sd, self.arch)
             params = jax.tree.map(jnp.asarray, params)
             model_state = jax.tree.map(jnp.asarray, model_state)
+        use_fsdp = self.mesh.shape.get("fsdp", 1) > 1
         if fbb.backbone_kind(self.arch) == "dit":
             params = tree_map_with_spec(
                 lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                params, dit_param_spec(self.arch))
+                params, dit_param_spec(self.arch, fsdp=use_fsdp))
         else:
             params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        num_replicas = self.mesh.shape["data"] * self.mesh.shape.get("fsdp", 1)
         self.optimizer = fstep.make_optimizer(
-            self.train_cfg, total_updates, num_replicas=self.mesh.shape["data"])
+            self.train_cfg, total_updates, num_replicas=num_replicas)
         ts = fstep.init_train_state(params, model_state, self.optimizer)
         # Commit every leaf to the mesh (scalar counters and eagerly-derived
         # EMA/opt leaves are otherwise uncommitted) so the first step call's
@@ -269,12 +271,14 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def batch_shardings(self):
+        # batches shard over both flavors of data parallelism jointly
+        d = ("data", "fsdp") if "fsdp" in self.mesh.axis_names else "data"
         sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
         return {
-            "audio": sh("data", None), "mel": sh("data", None, None),
-            "mel_lens": sh("data"), "text_ids": sh("data", None),
-            "text_lens": sh("data"), "ppg": sh("data", None, None), "ppg_lens": sh("data"),
-            "audio_16k": sh("data", None), "audio_16k_lens": sh("data"),
+            "audio": sh(d, None), "mel": sh(d, None, None),
+            "mel_lens": sh(d), "text_ids": sh(d, None),
+            "text_lens": sh(d), "ppg": sh(d, None, None), "ppg_lens": sh(d),
+            "audio_16k": sh(d, None), "audio_16k_lens": sh(d),
         }
 
     def train(self, loader, epochs: Optional[int] = None, resume: bool = True,

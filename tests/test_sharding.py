@@ -23,9 +23,11 @@ def test_eight_devices():
 
 def test_mesh_shapes():
     mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
-    assert mesh.shape == {"data": 4, "model": 2, "seq": 1}
+    assert mesh.shape == {"data": 4, "fsdp": 1, "model": 2, "seq": 1}
     mesh = make_mesh(MeshConfig(data=-1, model=2))
     assert mesh.shape["data"] == 4
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2))
+    assert mesh.shape == {"data": 2, "fsdp": 2, "model": 2, "seq": 1}
 
 
 def test_tp_sharded_forward_matches_replicated(rng):
@@ -96,6 +98,63 @@ def test_train_step_dp_tp(rng):
     assert int(ts2.update) == 2
     assert int(ts2.skipped) == 0
     assert float(m1.grad_norm) > 0
+
+
+def test_train_step_fsdp(rng):
+    """ZeRO-3 mesh (dp=2 x fsdp=2 x tp=2): params/opt-state shard over the
+    fsdp axis, per-shard arrays shrink accordingly, and the step's loss
+    matches the plain-DP run on identical inputs (GSPMD all-gather/
+    reduce-scatter is a layout change, not a math change)."""
+    b, n, nt = 8, 16, 8
+    np_batch = {
+        "mel": rng.standard_normal((b, n, TINY.mel_dim)).astype(np.float32),
+        "mel_lens": np.full((b,), n, np.int32),
+        "text_ids": rng.integers(0, VOCAB, (b, nt)).astype(np.int32),
+    }
+    train = TrainConfig(learning_rate=1e-3, num_warmup_updates=2)
+
+    def run(mesh_cfg, fsdp):
+        mesh = make_mesh(mesh_cfg)
+        params, model_state = fdit.init_dit(jax.random.PRNGKey(0), TINY, VOCAB)
+        params = tree_map_with_spec(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            params, dit_param_spec(TINY, fsdp=fsdp))
+        optimizer = fstep.make_optimizer(train, total_updates=10)
+        ts = fstep.init_train_state(params, model_state, optimizer)
+        d = ("data", "fsdp")
+        batch = {
+            "mel": jax.device_put(np_batch["mel"], NamedSharding(mesh, P(d, None, None))),
+            "mel_lens": jax.device_put(np_batch["mel_lens"], NamedSharding(mesh, P(d))),
+            "text_ids": jax.device_put(np_batch["text_ids"], NamedSharding(mesh, P(d, None))),
+        }
+        step = jax.jit(
+            lambda ts, batch, rng_: fstep.train_step(
+                ts, batch, rng_, arch=TINY, cfm=CFMConfig(), optimizer=optimizer,
+                compute_dtype=jnp.float32),
+            donate_argnums=(0,))
+        with mesh:
+            ts1, m1 = step(ts, batch, jax.random.PRNGKey(1))
+        return ts1, float(m1.loss)
+
+    ts_dp, loss_dp = run(MeshConfig(data=8, fsdp=1, model=1), fsdp=False)
+    ts_f, loss_f = run(MeshConfig(data=2, fsdp=2, model=2), fsdp=True)
+    assert np.isfinite(loss_f)
+    np.testing.assert_allclose(loss_f, loss_dp, rtol=2e-4)
+
+    # params AND optimizer moments carry the fsdp axis with shrunken shards
+    w = ts_f.params["blocks"]["attn"]["to_q"]["w"]
+    assert "fsdp" in tuple(w.sharding.spec)
+    shard = w.addressable_shards[0].data
+    assert shard.shape[1] == w.shape[1] // 2 and shard.shape[2] == w.shape[2] // 2
+    # adam mu/nu for this param, wherever they sit in the optax chain state
+    moments = [x for x in jax.tree.leaves(ts_f.opt_state)
+               if hasattr(x, "shape") and x.shape == w.shape]
+    assert len(moments) >= 2  # mu and nu
+    for m in moments:
+        assert "fsdp" in tuple(m.sharding.spec)
+        assert m.addressable_shards[0].data.shape == shard.shape
+    ema = ts_f.ema_params["blocks"]["attn"]["to_q"]["w"]
+    assert ema.addressable_shards[0].data.shape == shard.shape
 
 
 def test_sampler_under_dp_mesh(rng):
