@@ -560,7 +560,11 @@ def _fullkv_fwd(q, k, v, kv_lens):
 def _bwd_block_q(q, k, rope: bool):
     """Largest VMEM-fitting backward block request: 256 measured ~10% faster
     than 128 at training shapes (n=1664: 6.50 -> 5.87 ms); fall back to 128
-    for long buckets where the three (block_q, n) fp32 buffers won't fit."""
+    for long buckets where the three (block_q, n) fp32 buffers won't fit.
+    Returns None (-> chunked XLA fallback) off-TPU: Mosaic kernels only
+    compile for the TPU backend."""
+    if jax.default_backend() != "tpu":
+        return None
     for bq in (256, 128):
         if bwd_supported(q, k, block_q=bq, rope=rope):
             return bq
@@ -708,6 +712,107 @@ def mha_fullkv_joint(q, k, v, audio_lens, n_audio: int, block_q: int = 256,
     return jnp.transpose(out.reshape(b, h, n, dh), (0, 2, 1, 3))
 
 
+def _attn_joint_bwd_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref,
+                           dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                           heads: int, n_audio: int):
+    """Joint-mask backward cell: same divide-free structure as
+    _attn_bwd_kernel with the MMDiT column validity
+    (col < audio_len OR col >= n_audio) in place of the prefix mask."""
+    iq = pl.program_id(1)
+    bh = pl.program_id(0)
+    audio_len = lens_ref[bh // heads]
+
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = (col < audio_len) | (col >= n_audio)
+    s = jnp.where(valid, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    pt = jnp.exp(s - m)
+    linv = 1.0 / jnp.maximum(jnp.sum(pt, axis=-1, keepdims=True), 1e-30)
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = linv * jnp.sum(pt * dp, axis=-1, keepdims=True)
+    ds = (pt * (dp - delta) * linv).astype(q.dtype)
+    pb = pt.astype(q.dtype)
+    dol = (do.astype(jnp.float32) * linv).astype(do.dtype)
+
+    dq = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk_c = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_c = jax.lax.dot_general(
+        pb, dol, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_ref[0] = dk_c
+        dv_ref[0] = dv_c
+
+    @pl.when(iq > 0)
+    def _accum():
+        dk_ref[0] += dk_c
+        dv_ref[0] += dv_c
+
+
+@functools.partial(jax.jit, static_argnames=("n_audio", "block_q", "interpret"))
+def mha_fullkv_joint_bwd(q, k, v, audio_lens, g, n_audio: int,
+                         block_q: int = 128, interpret: bool = False):
+    """Pallas backward of mha_fullkv_joint: returns (dq, dk, dv)."""
+    b, n, h, dh = q.shape
+    block_q = _fit_block_q(n, block_q)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    def to_bh(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, n, dh)
+
+    bh_spec_q = pl.BlockSpec((1, block_q, dh), lambda bh, iq, s_: (bh, iq, 0))
+    bh_spec_full = pl.BlockSpec((1, n, dh), lambda bh, iq, s_: (bh, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_joint_bwd_kernel, sm_scale=sm_scale, heads=h,
+                          n_audio=n_audio),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, n // block_q),
+            in_specs=[bh_spec_q, bh_spec_full, bh_spec_full, bh_spec_q],
+            out_specs=[bh_spec_q, bh_spec_full, bh_spec_full],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(audio_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v), to_bh(g))
+
+    def from_bh(x, dtype):
+        return jnp.transpose(x.reshape(b, h, n, dh), (0, 2, 1, 3)).astype(dtype)
+
+    return from_bh(dq, q.dtype), from_bh(dk, k.dtype), from_bh(dv, v.dtype)
+
+
 def _reference_joint_attn(q, k, v, audio_lens, n_audio: int):
     col = jnp.arange(k.shape[1])
     mask = (col[None, :] < audio_lens[:, None]) | (col >= n_audio)[None, :]
@@ -725,9 +830,15 @@ def _joint_fwd(q, k, v, audio_lens, n_audio):
 
 def _joint_bwd(n_audio, res, g):
     q, k, v, audio_lens = res
-    dq, dk, dv = _chunked_attn_bwd(
-        lambda q_, k_, v_: _reference_joint_attn(q_, k_, v_, audio_lens, n_audio),
-        q, k, v, g)
+    bq = _bwd_block_q(q, k, rope=False)
+    if bq is not None:
+        dq, dk, dv = mha_fullkv_joint_bwd(q, k, v, audio_lens, g, n_audio,
+                                          block_q=bq)
+    else:
+        dq, dk, dv = _chunked_attn_bwd(
+            lambda q_, k_, v_: _reference_joint_attn(q_, k_, v_, audio_lens,
+                                                     n_audio),
+            q, k, v, g)
     return dq, dk, dv, None
 
 

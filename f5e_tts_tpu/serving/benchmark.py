@@ -278,6 +278,9 @@ def main(argv=None):
     pc.add_argument("--concurrency", type=int, default=4)
     pc.add_argument("--max_batch", type=int, default=4)
     pc.add_argument("--batch_window_ms", type=float, default=20.0)
+    pc.add_argument("--wav_only", action="store_true",
+                    help="return_mel=False: skip the generated-mel device "
+                         "fetch (the wav-only server config)")
     pl = sub.add_parser("openloop")
     pl.add_argument("--model", default="F5TTS_v1_Base")
     pl.add_argument("--ckpt", default="")
@@ -290,6 +293,9 @@ def main(argv=None):
     pl.add_argument("--requests", type=int, default=26)
     pl.add_argument("--max_batch", type=int, default=4)
     pl.add_argument("--batch_window_ms", type=float, default=20.0)
+    pl.add_argument("--wav_only", action="store_true",
+                    help="return_mel=False: skip the generated-mel device "
+                         "fetch (the wav-only server config)")
     ps = sub.add_parser("server")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=9998)
@@ -315,7 +321,8 @@ def main(argv=None):
         if args.max_batch > 0:
             tts.engine.enable_batching(max_batch=args.max_batch,
                                        window_ms=args.batch_window_ms,
-                                       nfe_steps=args.nfe)
+                                       nfe_steps=args.nfe,
+                                       return_mel=not args.wav_only)
         wav, sr = read_wav(args.ref_audio)
         stats = bench_concurrent(tts.engine, wav, sr, args.ref_text,
                                  DEFAULT_TEXTS[:26], args.nfe,
@@ -329,7 +336,8 @@ def main(argv=None):
         if args.max_batch > 0:
             tts.engine.enable_batching(max_batch=args.max_batch,
                                        window_ms=args.batch_window_ms,
-                                       nfe_steps=args.nfe)
+                                       nfe_steps=args.nfe,
+                                       return_mel=not args.wav_only)
         wav, sr = read_wav(args.ref_audio)
         texts = (DEFAULT_TEXTS * (args.requests // len(DEFAULT_TEXTS) + 1))[: args.requests]
         stats = bench_openloop(tts.engine, wav, sr, args.ref_text, texts,

@@ -237,6 +237,25 @@ def test_joint_ad_grads_match_reference(rng):
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-4, atol=2e-4)
 
 
+def test_joint_pallas_bwd_matches_reference_vjp(rng):
+    """The fused Pallas joint-mask backward (audio prefix + text tail) must
+    match differentiating the XLA joint reference."""
+    b, n_audio, nt, h, dh = 2, 192, 64, 2, 64
+    n = n_audio + nt
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v, g = mk(), mk(), mk(), mk()
+    audio_lens = jnp.asarray([n_audio, 100], jnp.int32)
+
+    dq, dk, dv = pa.mha_fullkv_joint_bwd(q, k, v, audio_lens, g, n_audio,
+                                         block_q=128, interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: pa._reference_joint_attn(
+        q_, k_, v_, audio_lens, n_audio), q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-3, atol=2e-3)
+
+
 def test_bwd_supported_gate():
     q = jnp.zeros((1, 1536, 16, 64), jnp.bfloat16)
     assert pa.bwd_supported(q, q)
