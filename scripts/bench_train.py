@@ -56,6 +56,9 @@ def main():
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--remat_policy", default="block",
                    choices=["block", "save_attn"])
+    p.add_argument("--bnb", action="store_true",
+                   help="int8 Adam moments (train.adamw8bit) — halves "
+                        "optimizer-state HBM, fits larger frame batches")
     args = p.parse_args()
 
     import dataclasses
@@ -72,6 +75,7 @@ def main():
         save_per_updates=10**9, last_per_updates=10**9,
         keep_last_n_checkpoints=1, save_dir="/tmp/bench_train_ckpts", seed=0,
         compute_dtype="bfloat16", mesh=MeshConfig(data=1, model=1, seq=1),
+        bnb_optimizer=args.bnb,
     )
     trainer = Trainer(model_cfg, train_cfg, vocab_size=model_cfg.vocab_size,
                       tokenize=lambda ts: [[0] for _ in ts])

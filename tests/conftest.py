@@ -22,14 +22,20 @@ jax.config.update("jax_num_cpu_devices", 8)
 # are machine-specific, and this environment's VMs migrate between machine
 # types — reloading an executable cached on a different host SIGILLs/aborts
 # inside deserialize (observed as fatal crashes in compilation_cache.py).
+# The flags line alone is NOT enough: two hosts with identical cpuinfo flags
+# produced executables differing in LLVM *tuning* features derived from the
+# CPU model (+prefer-no-scatter/+prefer-no-gather), which still abort on
+# load — so hash the model/stepping/microcode lines too.
 import hashlib
 
 try:
     with open("/proc/cpuinfo") as _f:
-        _flags = next((l for l in _f if l.startswith("flags")), "")
+        _id_lines = sorted({l.strip() for l in _f if l.startswith(
+            ("flags", "model", "stepping", "microcode", "cpu family", "vendor_id"))})
+        _ident = "\n".join(_id_lines)
 except OSError:
-    _flags = ""
-_fp = hashlib.md5(_flags.encode()).hexdigest()[:8]
+    _ident = ""
+_fp = hashlib.md5(_ident.encode()).hexdigest()[:8]
 jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
