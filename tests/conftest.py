@@ -36,8 +36,15 @@ try:
 except OSError:
     _ident = ""
 _fp = hashlib.md5(_ident.encode()).hexdigest()[:8]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_fp}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# DEFAULT OFF: on some VMs the persistent XLA:CPU cache is unreliable —
+# observed fatal crashes in BOTH directions (deserialize abort on entries
+# whose LLVM tuning features (+prefer-no-scatter/+prefer-no-gather) fail
+# the loader's host check, and a segfault inside put_executable_and_time
+# while serializing a fresh entry mid-suite). Opt back in on a machine
+# where it is known-good with F5E_TEST_CACHE=1 (cuts warm reruns to ~1/3).
+if os.environ.get("F5E_TEST_CACHE", "0") == "1":
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_fp}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture

@@ -195,9 +195,23 @@ def test_sampler_under_dp_mesh(rng):
 
 
 def test_dryrun_multichip_entry():
-    """The driver-facing dryrun runs on the 8-device CPU mesh."""
-    import sys, os
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    import __graft_entry__ as ge
+    """The driver-facing dryrun runs on the 8-device CPU mesh.
 
-    ge.dryrun_multichip(8)
+    Runs in a FRESH subprocess — exactly how the driver invokes it, and it
+    sidesteps an XLA:CPU instability observed on some VMs where a large
+    GSPMD compile late in a long-lived pytest process (hundreds of compiled
+    modules) segfaults inside backend_compile_and_load; the identical
+    compile in a fresh process succeeds."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
+        cwd=root, capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "JAX_PLATFORMS": ""})
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    for phase in ("train ok", "sampler ok", "ckpt ok", "fsdp ok"):
+        assert phase in proc.stdout, (phase, proc.stdout[-2000:])
