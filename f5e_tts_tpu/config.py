@@ -340,7 +340,14 @@ def load_train_yaml(path: str):
     optim = raw.get("optim", {})
     ckpts = raw.get("ckpts", {})
     ds = raw.get("datasets", {})
+    # optional mesh section (no reference equivalent — Accelerate DDP is the
+    # only upstream layout):  mesh: {data: -1, fsdp: 1, model: 1, seq: 1}
+    mesh_raw = raw.get("mesh") or {}  # a bare `mesh:` key parses as None
+    mesh = MeshConfig(
+        data=mesh_raw.get("data", -1), fsdp=mesh_raw.get("fsdp", 1),
+        model=mesh_raw.get("model", 1), seq=mesh_raw.get("seq", 1))
     return TrainConfig(
+        mesh=mesh,
         epochs=optim.get("epochs", 100),
         learning_rate=optim.get("learning_rate", 7.5e-5),
         num_warmup_updates=optim.get("num_warmup_updates", 20_000),

@@ -248,7 +248,7 @@ def attention(
     if (_USE_PALLAS_FULLKV and rope_cos is not None and _backend_is_tpu()):
         from f5e_tts_tpu.ops.pallas_attention import mha_fullkv_rope_ad, supported
 
-        if supported(q, k):
+        if supported(q, k, rope=True):
             if mask is not None:
                 kv_lens = jnp.sum(mask.astype(jnp.int32), axis=-1)
             else:

@@ -30,16 +30,20 @@ _NEG_INF = -1e30
 
 
 def _fit_block_q(n: int, block_q: int) -> int:
-    """Largest block <= block_q that divides n and is a multiple of 16 (the
-    bf16 sublane tile). n % 128 == 0 is guaranteed by supported(), so this
-    always terminates at >= 128. Non-power-of-two divisors matter: training
+    """Largest block <= block_q that divides n, preferring multiples of 16
+    (the bf16 sublane tile). Non-power-of-two divisors matter: training
     buckets like n=1664 = 128*13 would otherwise drop to block_q=128 (13 grid
-    cells per head), while 416 divides it with 4x fewer cells."""
+    cells per head), while 416 divides it with 4x fewer cells. Always returns
+    a divisor of n — for tiny/odd n with no 16-multiple divisor it falls back
+    to halving (the pre-round-3 behavior), so callers' `n % block_q == 0`
+    asserts hold for any input."""
     block_q = min(block_q, n)
     for cand in range(block_q - block_q % 16, 15, -16):
         if n % cand == 0:
             return cand
-    return 128
+    while n % block_q:
+        block_q //= 2
+    return block_q
 
 
 def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
@@ -558,11 +562,12 @@ def _fullkv_fwd(q, k, v, kv_lens):
 
 
 def _bwd_block_q(q, k, rope: bool):
-    """Largest VMEM-fitting backward block request: 256 measured ~10% faster
-    than 128 at training shapes (n=1664: 6.50 -> 5.87 ms); fall back to 128
-    for long buckets where the three (block_q, n) fp32 buffers won't fit.
-    Returns None (-> chunked XLA fallback) off-TPU: Mosaic kernels only
-    compile for the TPU backend."""
+    """Largest VMEM-fitting backward block request. The 256 request fits to
+    the largest <=256 divisor of n (208 at n=1664, where it measured ~10%
+    faster than block 128: 6.50 -> 5.87 ms/layer); falls back to a 128
+    request for long buckets where the three (block_q, n) fp32 buffers
+    won't fit. Returns None (-> chunked XLA fallback) off-TPU: Mosaic
+    kernels only compile for the TPU backend."""
     if jax.default_backend() != "tpu":
         return None
     for bq in (256, 128):
@@ -845,13 +850,24 @@ def _joint_bwd(n_audio, res, g):
 mha_fullkv_joint_ad.defvjp(_joint_fwd, _joint_bwd)
 
 
-def supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 512) -> bool:
+def supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 512,
+              rope: bool = False) -> bool:
     """Shape gate: same q/kv length (a 128 multiple), dh in {64, 128},
     K+V+scores within a conservative VMEM budget. The kernels shrink block_q
-    to the largest power of two dividing n (_fit_block_q)."""
+    to the largest <=block_q multiple-of-16 divisor of n (_fit_block_q).
+
+    rope=True accounts for the fused-rope kernel's extra residents: the
+    fp32 cos/sin tables (2*(n+block_q)*dh*4) and the rotated-K scratch
+    (n*dh*2). With them counted, the budget is 14 MB of the ~16 MB VMEM —
+    the max-duration serving shape (n=4096, dh=64, rope) sums to ~12.6 MB
+    and is verified compiling + numerically correct on chip; n=4096/dh=128
+    with rope (~16.8 MB) correctly falls back to XLA."""
     b, n, h, dh = q.shape
     if k.shape != q.shape or n % 128 or dh not in (64, 128):
         return False
     block_q = _fit_block_q(n, block_q)
     vmem = n * dh * 2 * 2 + block_q * n * 4 + block_q * dh * 8
+    if rope:
+        vmem += 2 * (n + block_q) * dh * 4 + n * dh * 2
+        return vmem < 14 * 1024 * 1024
     return vmem < 12 * 1024 * 1024

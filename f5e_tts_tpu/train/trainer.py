@@ -271,14 +271,16 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def batch_shardings(self):
-        # batches shard over both flavors of data parallelism jointly
-        d = ("data", "fsdp") if "fsdp" in self.mesh.axis_names else "data"
-        sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
+        # batch dim 0 shards over both flavors of data parallelism jointly —
+        # the single source of truth is parallel.mesh.batch_sharding
+        from f5e_tts_tpu.parallel.mesh import batch_sharding
+
+        sh = lambda ndim: batch_sharding(self.mesh, ndim)
         return {
-            "audio": sh(d, None), "mel": sh(d, None, None),
-            "mel_lens": sh(d), "text_ids": sh(d, None),
-            "text_lens": sh(d), "ppg": sh(d, None, None), "ppg_lens": sh(d),
-            "audio_16k": sh(d, None), "audio_16k_lens": sh(d),
+            "audio": sh(2), "mel": sh(3),
+            "mel_lens": sh(1), "text_ids": sh(2),
+            "text_lens": sh(1), "ppg": sh(3), "ppg_lens": sh(1),
+            "audio_16k": sh(2), "audio_16k_lens": sh(1),
         }
 
     def train(self, loader, epochs: Optional[int] = None, resume: bool = True,

@@ -87,6 +87,10 @@ def test_block_q_fits_non_pow2_buckets(rng):
     assert pa._fit_block_q(1664, 512) == 416
     assert pa._fit_block_q(1664, 128) == 128
     assert pa._fit_block_q(1664, 1000) == 832
+    # tiny/odd n with no multiple-of-16 divisor: still returns a divisor
+    assert pa._fit_block_q(40, 512) == 40
+    assert pa._fit_block_q(40, 32) == 8  # halving fallback: 32 -> 16 -> 8
+    assert pa._fit_block_q(8, 512) == 8
     q = jnp.zeros((1, 768, 4, 64), jnp.bfloat16)
     assert pa.supported(q, q)
 
