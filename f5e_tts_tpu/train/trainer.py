@@ -323,33 +323,47 @@ class Trainer:
         # the number of batches already consumed (micro-steps incl. NaN skips)
         consumed = int(ts.micro) + int(ts.skipped)
         skip_epochs, skip_batches = divmod(consumed, max(len(loader), 1))
+        def prepare_batch(batch):
+            if self.ppg_extractor is not None and "ppg" not in batch:
+                # on-the-fly PPG extraction on device from the 16 kHz
+                # audio carried by the batch (reference trainer.py:385-391
+                # extracts from per-item kaldi fbank in the dataloader)
+                assert "audio_16k" in batch, (
+                    "use_ppg training needs 16 kHz audio in the batch "
+                    "(build the dataset with with_16k_audio=True)")
+                ppg, ppg_lens = self.ppg_extractor.audio_to_ppg(
+                    jnp.asarray(batch["audio_16k"]),
+                    jnp.asarray(batch["audio_16k_lens"]))
+                batch["ppg"] = np.asarray(ppg)
+                batch["ppg_lens"] = np.asarray(ppg_lens)
+            return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()
+                    if k in shardings}
+
         with self.mesh:
             for epoch in range(skip_epochs, epochs):
                 if done:
                     break
                 loader.sampler.set_epoch(epoch)
                 to_skip = skip_batches if epoch == skip_epochs else 0
-                for bi, batch in enumerate(loader):
-                    if bi < to_skip:
-                        continue
-                    if self.ppg_extractor is not None and "ppg" not in batch:
-                        # on-the-fly PPG extraction on device from the 16 kHz
-                        # audio carried by the batch (reference trainer.py:385-391
-                        # extracts from per-item kaldi fbank in the dataloader)
-                        assert "audio_16k" in batch, (
-                            "use_ppg training needs 16 kHz audio in the batch "
-                            "(build the dataset with with_16k_audio=True)")
-                        ppg, ppg_lens = self.ppg_extractor.audio_to_ppg(
-                            jnp.asarray(batch["audio_16k"]),
-                            jnp.asarray(batch["audio_16k_lens"]))
-                        batch["ppg"] = np.asarray(ppg)
-                        batch["ppg_lens"] = np.asarray(ppg_lens)
-                    batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()
-                             if k in shardings}
+                batch_iter = iter(loader)
+                for _ in range(to_skip):
+                    if next(batch_iter, None) is None:
+                        break
+                # one-ahead pipeline: dispatch step N asynchronously, pull
+                # batch N+1 from the (disk-reading, collating) loader while
+                # the device runs, THEN materialize step N's counters. The
+                # previous structure blocked on int(ts.update) before
+                # touching the loader, idling the chip for every host-side
+                # load. Cadence semantics are unchanged: counters are still
+                # read for every step before acting on it.
+                nxt = next(batch_iter, None)
+                while nxt is not None:
+                    batch = prepare_batch(nxt)
                     t_step = time.time()
-                    prev_update = int(ts.update)
+                    prev_update = int(ts.update)  # already materialized; cheap
                     ts, metrics = step(ts, batch, rng)
-                    update = int(ts.update)
+                    nxt = next(batch_iter, None)  # overlaps the device step
+                    update = int(ts.update)  # blocks for THIS step
                     if self.log_fn is not None:
                         self.log_fn({"loss": float(metrics.loss),
                                      "grad_norm": float(metrics.grad_norm),
