@@ -177,6 +177,7 @@ class MeshConfig:
     fsdp: int = 1
     model: int = 1
     seq: int = 1
+    pipe: int = 1  # pipeline stages over transformer depth (GPipe)
 
 
 @dataclass(frozen=True)
@@ -209,6 +210,8 @@ class TrainConfig:
     ema_update_every: int = 10
     ema_inv_gamma: float = 1.0
     ema_power: float = 2.0 / 3.0
+    # GPipe microbatch count when mesh.pipe > 1 (None -> one per stage)
+    pp_microbatches: Optional[int] = None
     ema_min_value: float = 0.0
     save_per_updates: int = 50_000
     last_per_updates: int = 5_000
@@ -345,7 +348,8 @@ def load_train_yaml(path: str):
     mesh_raw = raw.get("mesh") or {}  # a bare `mesh:` key parses as None
     mesh = MeshConfig(
         data=mesh_raw.get("data", -1), fsdp=mesh_raw.get("fsdp", 1),
-        model=mesh_raw.get("model", 1), seq=mesh_raw.get("seq", 1))
+        model=mesh_raw.get("model", 1), seq=mesh_raw.get("seq", 1),
+        pipe=mesh_raw.get("pipe", 1))
     return TrainConfig(
         mesh=mesh,
         epochs=optim.get("epochs", 100),

@@ -323,25 +323,47 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
                 axis=-1).astype(compute_dtype)
         blocks = {**blocks, "attn": {**attn_p, "to_qkv": qkv}}
 
-    def body(h, scanned):
+    def block_fn(h, scanned, t_e, mk):
         blk, lr = scanned
-        h = _dit_block(blk, h, t_emb, mask, rope_cos, rope_sin, cfg,
-                       dropout_rng=lr if training else None,
-                       training=training, compute_dtype=compute_dtype)
-        return h, None
+        return _dit_block(blk, h, t_e, mk, rope_cos, rope_sin, cfg,
+                          dropout_rng=lr if training else None,
+                          training=training, compute_dtype=compute_dtype)
 
     if cfg.checkpoint_activations:
         if getattr(cfg, "remat_policy", "block") == "save_attn":
             # keep each block's named attention output (ops/attention.py
             # tags it "attn_out") so the backward recompute rebuilds q/k/v
             # via cheap matmuls but skips re-running the attention kernel
-            body = jax.checkpoint(
-                body,
+            block_fn = jax.checkpoint(
+                block_fn,
                 policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
         else:
-            body = jax.checkpoint(body)
+            block_fn = jax.checkpoint(block_fn)
 
-    x, _ = jax.lax.scan(body, x, (blocks, layer_rngs))
+    from f5e_tts_tpu.parallel.pipeline import gpipe_scan, pp_context, pp_shards
+
+    if pp_shards() > 1:
+        # pipeline parallelism over the depth axis (parallel/pipeline.py):
+        # stages hold contiguous block slices, microbatches flow via
+        # ppermute. Requires tp==1 (the head-sharding shard_map cannot nest
+        # inside the pipe shard_map).
+        assert _tp_shards() == 1, "pipeline parallelism requires tp == 1"
+        pp_mesh, pp_axis, n_micro = pp_context()
+        mask_b = mask if mask is not None else jnp.ones(
+            (x.shape[0], x.shape[1]), bool)
+        # batch dim stays sharded over whatever data axes the mesh carries;
+        # the pipeline runs per data replica on its local shard
+        batch_axes = tuple(a for a in ("data", "fsdp")
+                           if a in pp_mesh.axis_names and pp_mesh.shape[a] > 1)
+        x = gpipe_scan(
+            lambda h, sl, t_e, mk: block_fn(h, sl, t_e, mk),
+            x, (blocks, layer_rngs), pp_mesh, axis=pp_axis, n_micro=n_micro,
+            batched=(t_emb, mask_b), batch_axes=batch_axes or None)
+    else:
+        def body(h, scanned):
+            return block_fn(h, scanned, t_emb, mask), None
+
+        x, _ = jax.lax.scan(body, x, (blocks, layer_rngs))
 
     if cfg.long_skip_connection:
         x = fnn.linear(params["long_skip"], jnp.concatenate([x, residual], axis=-1), compute_dtype)

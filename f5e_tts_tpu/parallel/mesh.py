@@ -12,6 +12,8 @@ Axes:
   (replaces TRT-LLM --tp_size engine splits, convert_checkpoint.py:16-23)
 - "seq": sequence/context parallelism over mel frames
   (replaces TRT-LLM --cp_size, convert_checkpoint.py:189)
+- "pipe": pipeline parallelism over transformer depth (GPipe microbatch
+  schedule, parallel/pipeline.py; no reference equivalent)
 """
 
 from __future__ import annotations
@@ -31,12 +33,13 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     model = max(cfg.model, 1)
     seq = max(cfg.seq, 1)
     fsdp = max(getattr(cfg, "fsdp", 1), 1)
-    data = cfg.data if cfg.data > 0 else n // (fsdp * model * seq)
-    need = data * fsdp * model * seq
+    pipe = max(getattr(cfg, "pipe", 1), 1)
+    data = cfg.data if cfg.data > 0 else n // (fsdp * model * seq * pipe)
+    need = data * fsdp * model * seq * pipe
     assert need <= n, (
-        f"mesh {data}x{fsdp}x{model}x{seq} needs {need} devices, have {n}")
-    arr = np.asarray(devices[:need]).reshape(data, fsdp, model, seq)
-    return Mesh(arr, axis_names=("data", "fsdp", "model", "seq"))
+        f"mesh {data}x{fsdp}x{model}x{seq}x{pipe} needs {need} devices, have {n}")
+    arr = np.asarray(devices[:need]).reshape(data, fsdp, model, seq, pipe)
+    return Mesh(arr, axis_names=("data", "fsdp", "model", "seq", "pipe"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -57,7 +60,8 @@ def batch_sharding(mesh: Mesh, ndim: int, seq_axis: Optional[int] = None) -> Nam
 # ---------------------------------------------------------------------------
 
 
-def dit_param_spec(cfg: DiTConfig, fsdp: bool = False) -> dict:
+def dit_param_spec(cfg: DiTConfig, fsdp: bool = False,
+                   pipe: bool = False) -> dict:
     """PartitionSpec pytree for DiT params (matching init_dit structure).
 
     TP layout (Megatron-style, what TRT-LLM's split_q_tp/split_matrix_tp do —
@@ -69,6 +73,10 @@ def dit_param_spec(cfg: DiTConfig, fsdp: bool = False) -> dict:
     'fsdp' mesh axis (ZeRO-3: optimizer moments and EMA inherit the sharding,
     so per-chip state memory drops by the axis size; GSPMD all-gathers a
     layer's weights at use inside the scan and reduce-scatters its grads).
+
+    pipe=True pins the stacked depth axis of every block param to the
+    'pipe' mesh axis, matching gpipe_scan's stage slicing (stage s holds
+    the contiguous depth/S slice) so the pipeline pays no resharding.
     """
     f = "fsdp" if fsdp else None
     col = P(None, f, "model")  # stacked (depth, in, out): shard out
@@ -129,6 +137,13 @@ def dit_param_spec(cfg: DiTConfig, fsdp: bool = False) -> dict:
             "vars": P(),
             "weight_proj": {"layer_0": {"w": P(), "b": P()}},
         }
+    if pipe:
+        def pin_depth(p):
+            rest = tuple(p)[1:]
+            return P("pipe", *rest)
+
+        spec["blocks"] = jax.tree.map(
+            pin_depth, spec["blocks"], is_leaf=lambda x: isinstance(x, P))
     return spec
 
 

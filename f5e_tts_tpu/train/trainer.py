@@ -108,6 +108,13 @@ class Trainer:
             from f5e_tts_tpu.ops.attention import set_sp_context
 
             set_sp_context(self.mesh)
+        if self.mesh.shape.get("pipe", 1) > 1:
+            # GPipe over transformer depth (parallel/pipeline.py); requires
+            # tp == 1 (asserted in dit_trunk)
+            from f5e_tts_tpu.parallel.pipeline import set_pp_context
+
+            set_pp_context(self.mesh,
+                           n_micro=self.train_cfg.pp_microbatches)
         self.arch = self.model_cfg.arch
         self.cfm = self.model_cfg.cfm
         self.compute_dtype = jnp.bfloat16 if self.train_cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -129,10 +136,12 @@ class Trainer:
             params = jax.tree.map(jnp.asarray, params)
             model_state = jax.tree.map(jnp.asarray, model_state)
         use_fsdp = self.mesh.shape.get("fsdp", 1) > 1
+        use_pipe = self.mesh.shape.get("pipe", 1) > 1
         if fbb.backbone_kind(self.arch) == "dit":
             params = tree_map_with_spec(
                 lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                params, dit_param_spec(self.arch, fsdp=use_fsdp))
+                params, dit_param_spec(self.arch, fsdp=use_fsdp,
+                                       pipe=use_pipe))
         else:
             params = jax.device_put(params, NamedSharding(self.mesh, P()))
         num_replicas = self.mesh.shape["data"] * self.mesh.shape.get("fsdp", 1)

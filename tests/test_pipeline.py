@@ -1,176 +1,213 @@
-"""Inference pipeline tests: chunking, duration, crossfade, full infer()."""
+"""GPipe pipeline parallelism: parity with the sequential lax.scan."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.sharding import Mesh
 
-from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
-from f5e_tts_tpu.infer import audio as faudio
-from f5e_tts_tpu.infer import pipeline as fpipe
-from f5e_tts_tpu.models import dit as fdit
+from f5e_tts_tpu.parallel.pipeline import gpipe_scan, pp_shards, set_pp_context
 
 
-def test_chunk_text():
-    text = "Hello world. This is a test! Short. " * 4
-    chunks = fpipe.chunk_text(text, max_chars=40)
-    assert len(chunks) > 1
-    assert all(len(c.encode("utf-8")) <= 41 + 30 for c in chunks)  # sentence-bounded
-    # round-trip words preserved
-    assert "".join(chunks).replace(" ", "") == text.strip().replace(" ", "")
+def _pipe_mesh(s):
+    return Mesh(np.asarray(jax.devices()[:s]), axis_names=("pipe",))
 
 
-def test_chunk_text_cjk():
-    text = "你好。世界！这是测试。" * 10
-    chunks = fpipe.chunk_text(text, max_chars=30)
-    assert len(chunks) > 1
-    assert "".join(chunks) == text
+def _body(h, sl, t_emb, mask):
+    # nonlinear block with per-batch conditioning + boolean mask, so stage
+    # order, microbatch routing, and batched-arg slicing all matter
+    w, b = sl["w"], sl["b"]
+    y = jnp.tanh(h @ w + b + t_emb[:, None, :])
+    return jnp.where(mask[:, :, None], y, h)
 
 
-def test_estimate_duration():
-    # ref 100 frames, ref_text 10 bytes, gen_text 20 bytes, speed 1
-    d = fpipe.estimate_duration(100, "a" * 10, "b" * 20, speed=1.0)
-    assert d == 100 + 200
-    # fix_duration wins
-    d = fpipe.estimate_duration(100, "a" * 10, "b" * 20, fix_duration=2.0,
-                                sample_rate=24000, hop_length=256)
-    assert d == int(2.0 * 24000 / 256)
-    # short text slows to 0.3 (utils_infer.py:457-459)
-    d = fpipe.estimate_duration(100, "a" * 10, "b" * 5, speed=1.0)
-    assert d == 100 + int(100 / 10 * 5 / 0.3)
+def _make(depth=8, B=8, N=16, D=32, seed=0):
+    rng = np.random.default_rng(seed)
+    scanned = {
+        "w": jnp.asarray(rng.standard_normal((depth, D, D)).astype(np.float32)) * 0.3,
+        "b": jnp.asarray(rng.standard_normal((depth, D)).astype(np.float32)) * 0.1,
+    }
+    h0 = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    t_emb = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    mask = jnp.asarray(rng.integers(0, 2, (B, N)).astype(bool))
+    return scanned, h0, t_emb, mask
 
 
-def test_pick_bucket():
-    assert fpipe.pick_bucket(100) == 256
-    assert fpipe.pick_bucket(256) == 256
-    assert fpipe.pick_bucket(257) == 512
-    assert fpipe.pick_bucket(99999) == 4096
+def _seq_ref(scanned, h0, t_emb, mask):
+    def step(h, sl):
+        return _body(h, sl, t_emb, mask), None
+
+    return jax.lax.scan(step, h0, scanned)[0]
 
 
-def test_cross_fade_stitch():
-    sr = 100
-    a = np.ones(100, np.float32)
-    b = np.ones(100, np.float32) * 3
-    out = fpipe.cross_fade_stitch([a, b], sr, cross_fade_duration=0.2)  # 20 samples
-    assert len(out) == 180
-    # fade region is monotone between 1 and 3
-    region = out[80:100]
-    assert region[0] <= region[-1]
-    assert out[0] == 1 and out[-1] == 3
-    # zero fade = concat
-    out = fpipe.cross_fade_stitch([a, b], sr, cross_fade_duration=0)
-    assert len(out) == 200
+@pytest.mark.parametrize("pipe,n_micro", [(2, 2), (4, 4), (4, 8), (8, 8)])
+def test_gpipe_matches_scan(pipe, n_micro):
+    scanned, h0, t_emb, mask = _make()
+    ref = _seq_ref(scanned, h0, t_emb, mask)
+    mesh = _pipe_mesh(pipe)
+    out = gpipe_scan(_body, h0, scanned, mesh, n_micro=n_micro,
+                     batched=(t_emb, mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
-def test_audio_io_roundtrip(tmp_path, rng):
-    x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
-    p = str(tmp_path / "t.wav")
-    faudio.write_wav(p, x, 24000)
-    y, sr = faudio.read_wav(p)
-    assert sr == 24000
-    np.testing.assert_allclose(y, np.clip(x, -1, 1), atol=1.5e-4)
+def test_gpipe_grads_match_scan():
+    scanned, h0, t_emb, mask = _make()
+    mesh = _pipe_mesh(4)
+
+    def loss_seq(scanned, h0, t_emb):
+        return jnp.sum(_seq_ref(scanned, h0, t_emb, mask) ** 2)
+
+    def loss_pipe(scanned, h0, t_emb):
+        out = gpipe_scan(_body, h0, scanned, mesh, n_micro=4,
+                         batched=(t_emb, mask))
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_seq, argnums=(0, 1, 2))(scanned, h0, t_emb)
+    g_pipe = jax.grad(loss_pipe, argnums=(0, 1, 2))(scanned, h0, t_emb)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
 
 
-def test_resample():
-    t = np.arange(16000) / 16000
-    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
-    y = faudio.resample(x, 16000, 24000)
-    assert abs(len(y) - 24000) <= 2
-    # energy preserved approximately
-    assert abs(faudio.rms(y) - faudio.rms(x)) < 0.02
+def test_gpipe_size_one_is_plain_scan():
+    scanned, h0, t_emb, mask = _make()
+    mesh = _pipe_mesh(1)
+    out = gpipe_scan(_body, h0, scanned, mesh, batched=(t_emb, mask))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(_seq_ref(scanned, h0, t_emb, mask)))
 
 
-def test_normalize_rms():
-    x = np.ones(100, np.float32) * 0.01
-    y, r = faudio.normalize_rms(x, 0.1)
-    assert abs(faudio.rms(y) - 0.1) < 1e-6
-    assert abs(r - 0.01) < 1e-6
-    # loud audio untouched
-    x = np.ones(100, np.float32) * 0.5
-    y, r = faudio.normalize_rms(x, 0.1)
-    assert (y == x).all()
+def test_dit_forward_under_pp_matches_plain(rng):
+    """The DiT trunk routed through gpipe_scan (pipe=4, 2 blocks/stage)
+    must reproduce the sequential forward bitwise-closely, with remat on."""
+    from f5e_tts_tpu.config import DiTConfig
+    from f5e_tts_tpu.models import dit as fdit
+
+    cfg = DiTConfig(dim=64, depth=8, heads=2, dim_head=32, ff_mult=2,
+                    mel_dim=8, text_dim=32, conv_layers=1, dropout=0.0,
+                    checkpoint_activations=True)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), cfg, 16)
+    b, n, nt = 8, 32, 8
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(r.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    text = jnp.asarray(r.integers(0, 16, (b, nt)).astype(np.int32))
+    time = jnp.linspace(0.1, 0.9, b)
+    f = jnp.zeros((b,), bool)
+
+    def fwd():
+        pred, _ = fdit.dit_forward(params, state, cfg, x=x, cond=cond,
+                                   text_ids=text, time=time, drop_audio_cond=f,
+                                   drop_text=f, drop_ppg=f,
+                                   compute_dtype=jnp.float32)
+        return np.asarray(pred)
+
+    ref = fwd()
+    set_pp_context(_pipe_mesh(4), n_micro=4)
+    try:
+        out = fwd()
+    finally:
+        set_pp_context(None)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_remove_silence_edges():
-    sr = 1000
-    x = np.concatenate([np.zeros(500), 0.5 * np.ones(1000), np.zeros(500)]).astype(np.float32)
-    y = faudio.remove_silence_edges(x, sr)
-    assert 900 <= len(y) <= 1100
+def test_dit_grads_under_pp_match_plain(rng):
+    """CFM-style scalar loss: grads w.r.t. params match the sequential run."""
+    from f5e_tts_tpu.config import DiTConfig
+    from f5e_tts_tpu.models import dit as fdit
+
+    cfg = DiTConfig(dim=64, depth=8, heads=2, dim_head=32, ff_mult=2,
+                    mel_dim=8, text_dim=32, conv_layers=1, dropout=0.0,
+                    checkpoint_activations=True)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), cfg, 16)
+    b, n, nt = 8, 32, 8
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(r.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    text = jnp.asarray(r.integers(0, 16, (b, nt)).astype(np.int32))
+    time = jnp.linspace(0.1, 0.9, b)
+    f = jnp.zeros((b,), bool)
+
+    def loss(p):
+        pred, _ = fdit.dit_forward(p, state, cfg, x=x, cond=cond,
+                                   text_ids=text, time=time, drop_audio_cond=f,
+                                   drop_text=f, drop_ppg=f,
+                                   compute_dtype=jnp.float32)
+        return jnp.mean(pred ** 2)
+
+    g_ref = jax.grad(loss)(params)
+    set_pp_context(_pipe_mesh(4), n_micro=4)
+    try:
+        g_pp = jax.grad(loss)(params)
+    finally:
+        set_pp_context(None)
+    for (pa, a), (pb, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_pp)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-6, err_msg=str(pa))
 
 
-def test_engine_infer_end_to_end(rng):
-    """Tiny engine: infer() produces a finite stitched wave of plausible length."""
-    mel_cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
-                        target_sample_rate=8000)
-    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,
-                     text_dim=16, conv_layers=0, dropout=0.0)
-    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.")}
-    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, len(vocab))
-    params["proj_out"]["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(9),
-                                                       params["proj_out"]["w"].shape)
+def test_trainer_step_under_dp_pp(rng):
+    """Full Trainer step on a dp=2 x pipe=4 mesh: params pipe-sharded on the
+    depth axis, loss matches the plain-DP run on identical inputs."""
+    from f5e_tts_tpu.config import (CFMConfig, DiTConfig, MeshConfig,
+                                    MelConfig, ModelConfig, TrainConfig)
+    from f5e_tts_tpu.train.trainer import Trainer
 
-    hop = mel_cfg.hop_length
+    arch = DiTConfig(dim=64, depth=8, heads=2, dim_head=32, ff_mult=2,
+                     mel_dim=8, text_dim=32, conv_layers=1, dropout=0.0,
+                     checkpoint_activations=True)
+    model_cfg = ModelConfig(name="tiny", backbone="DiT", tokenizer="custom",
+                            tokenizer_path=None, arch=arch, mel=MelConfig(),
+                            cfm=CFMConfig(), vocab_size=16)
+    b, n, nt = 8, 32, 8
+    r = np.random.default_rng(3)
+    npb = {
+        "mel": r.standard_normal((b, n, arch.mel_dim)).astype(np.float32),
+        "mel_lens": np.full((b,), n, np.int32),
+        "text_ids": r.integers(0, 16, (b, nt)).astype(np.int32),
+    }
 
-    def fake_vocoder(mel):
-        return np.zeros((mel.shape[0], mel.shape[1] * hop), np.float32) + 0.05
+    def run(mesh_cfg):
+        from f5e_tts_tpu.parallel.pipeline import set_pp_context
 
-    engine = fpipe.TTSEngine(
-        params=params, state=state, arch=arch, vocab=vocab, mel=mel_cfg,
-        cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=2, max_duration=512),
-        tokenizer="char", vocoder_decode=fake_vocoder, compute_dtype=jnp.float32,
-        buckets=(128, 256, 512))
+        tc = TrainConfig(learning_rate=1e-3, num_warmup_updates=2,
+                         batch_size_per_device=b * n,
+                         save_per_updates=10**9, last_per_updates=10**9,
+                         save_dir="/tmp/pp_test_ckpts", seed=0,
+                         compute_dtype="float32", mesh=mesh_cfg,
+                         pp_microbatches=2)
+        trainer = Trainer(model_cfg, tc, vocab_size=16,
+                          tokenize=lambda ts: [[0] for _ in ts])
+        try:
+            ts = trainer.init_state(total_updates=10)
+            step = trainer.make_step()
+            sh = trainer.batch_shardings()
+            batch = {k: jax.device_put(v, sh[k]) for k, v in npb.items()}
+            with trainer.mesh:
+                ts, metrics = step(ts, batch, jax.random.PRNGKey(1))
+                loss = float(metrics.loss)
+            return ts, loss
+        finally:
+            set_pp_context(None)
 
-    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(4000) / 8000)).astype(np.float32)
-    wav, sr, mel = engine.infer(ref, 8000, "hello there.", "this is a test.", seed=1)
-    assert sr == 8000
-    assert np.isfinite(wav).all()
-    assert len(wav) > 0
-    assert mel.ndim == 2 and mel.shape[1] == 12
-
-
-def test_engine_vc_and_tts_modes(rng):
-    """synthesize_chunk runs the sample_tts and sample_vc CFG variants through
-    a PPG-conditioned engine."""
-    from f5e_tts_tpu.config import CodebookConfig, PPGConfig
-
-    mel_cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
-                        target_sample_rate=8000)
-    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,
-                     text_dim=16, conv_layers=0, dropout=0.0,
-                     ppg=PPGConfig(use_ppg=True, ppg_dim=6))
-    vocab = {c: i for i, c in enumerate(" abcdef")}
-    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, len(vocab))
-    engine = fpipe.TTSEngine(params=params, state=state, arch=arch, vocab=vocab,
-                             mel=mel_cfg, cfm=CFMConfig(),
-                             infer_cfg=InferConfig(nfe_steps=2, max_duration=512),
-                             tokenizer="char", vocoder_decode=None,
-                             compute_dtype=jnp.float32, buckets=(128, 256))
-    ref_mel = rng.standard_normal((1, 40, 12)).astype(np.float32)
-    ppg = rng.standard_normal((1, 100, 6)).astype(np.float32)
-    out_tts = engine.synthesize_chunk(ref_mel, "abc def", 100, mode="tts",
-                                      alpha_spk=3.5, alpha_txt=3.0, nfe_steps=2)
-    assert out_tts.shape == (60, 12)
-    out_vc = engine.synthesize_chunk(ref_mel, "", 100, mode="vc", alpha_spk=1.0,
-                                     alpha_ppg=2.0, ppg=ppg, nfe_steps=2)
-    assert out_vc.shape[1] == 12
-    assert np.isfinite(out_tts).all() and np.isfinite(out_vc).all()
+    ts_dp, loss_dp = run(MeshConfig(data=8))
+    ts_pp, loss_pp = run(MeshConfig(data=2, pipe=4))
+    assert np.isfinite(loss_pp)
+    np.testing.assert_allclose(loss_pp, loss_dp, rtol=2e-4)
+    w = ts_pp.params["blocks"]["attn"]["to_q"]["w"]
+    assert "pipe" in tuple(w.sharding.spec)
+    assert w.addressable_shards[0].data.shape[0] == arch.depth // 4
 
 
-def test_engine_streaming(rng):
-    mel_cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
-                        target_sample_rate=8000)
-    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,
-                     text_dim=16, conv_layers=0, dropout=0.0)
-    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.")}
-    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, len(vocab))
-    engine = fpipe.TTSEngine(
-        params=params, state=state, arch=arch, vocab=vocab, mel=mel_cfg,
-        cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=2, max_duration=512),
-        tokenizer="char",
-        vocoder_decode=lambda m: np.zeros((m.shape[0], m.shape[1] * 64), np.float32),
-        compute_dtype=jnp.float32, buckets=(128, 256, 512))
-    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(4000) / 8000)).astype(np.float32)
-    stream = engine.infer(ref, 8000, "hello.", "a test.", streaming=True, chunk_size=100)
-    chunks = list(stream)
-    assert len(chunks) >= 1
-    assert all(len(c) <= 100 for c, _ in chunks)
+def test_pp_context_roundtrip():
+    assert pp_shards() == 1
+    mesh = _pipe_mesh(4)
+    set_pp_context(mesh, n_micro=8)
+    try:
+        assert pp_shards() == 4
+    finally:
+        set_pp_context(None)
+    assert pp_shards() == 1

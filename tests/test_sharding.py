@@ -23,11 +23,13 @@ def test_eight_devices():
 
 def test_mesh_shapes():
     mesh = make_mesh(MeshConfig(data=4, model=2, seq=1))
-    assert mesh.shape == {"data": 4, "fsdp": 1, "model": 2, "seq": 1}
+    assert mesh.shape == {"data": 4, "fsdp": 1, "model": 2, "seq": 1, "pipe": 1}
     mesh = make_mesh(MeshConfig(data=-1, model=2))
     assert mesh.shape["data"] == 4
     mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2))
-    assert mesh.shape == {"data": 2, "fsdp": 2, "model": 2, "seq": 1}
+    assert mesh.shape == {"data": 2, "fsdp": 2, "model": 2, "seq": 1, "pipe": 1}
+    mesh = make_mesh(MeshConfig(data=2, pipe=4))
+    assert mesh.shape == {"data": 2, "fsdp": 1, "model": 1, "seq": 1, "pipe": 4}
 
 
 def test_tp_sharded_forward_matches_replicated(rng):
