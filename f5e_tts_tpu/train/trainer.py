@@ -110,7 +110,12 @@ class Trainer:
             set_sp_context(self.mesh)
         if self.mesh.shape.get("pipe", 1) > 1:
             # GPipe over transformer depth (parallel/pipeline.py); requires
-            # tp == 1 (asserted in dit_trunk)
+            # tp == 1 (asserted in dit_trunk). Only the DiT backbone
+            # pipelines — fail loudly rather than silently replicating.
+            assert fbb.backbone_kind(self.model_cfg.arch) == "dit", (
+                "mesh.pipe > 1 is only supported for the DiT backbone "
+                "(UNetT's cross-depth skips are pipeline-hostile; MMDiT "
+                "keeps the sequential scan)")
             from f5e_tts_tpu.parallel.pipeline import set_pp_context
 
             set_pp_context(self.mesh,
