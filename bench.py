@@ -13,11 +13,57 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+
+def _probe_backend(timeout_s: float) -> bool:
+    """Check the accelerator backend comes up, in a subprocess.
+
+    A dead axon tunnel makes ``jax.devices()`` HANG (not raise), so the probe
+    must be a separate process we can kill: an in-process try/except would
+    wedge the whole benchmark. Returns True iff a backend initialized within
+    ``timeout_s``.
+    """
+    code = "import jax; jax.devices(); print('ok')"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            env=os.environ.copy(),
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
+def _ensure_backend(metric: str) -> None:
+    """Bounded retry on backend init; structured JSON error on final failure.
+
+    Round-3 postmortem: the axon tunnel died mid-session and bench.py's
+    record for the round was a raw 30-line RuntimeError traceback with rc=1.
+    Rounds must stay machine-comparable, so on final failure we emit ONE
+    parseable JSON line and exit 0.
+    """
+    delays = (0, 30, 60)  # three attempts, ~3.5 min worst case w/ 60s probes
+    for d in delays:
+        if d:
+            time.sleep(d)
+        if _probe_backend(timeout_s=75):
+            return
+    print(json.dumps({
+        "metric": metric,
+        "value": None,
+        "unit": "decode_s_per_audio_s",
+        "vs_baseline": None,
+        "error": "tpu_backend_unavailable",
+    }))
+    sys.exit(0)
 
 
 def main():
@@ -31,6 +77,12 @@ def main():
     # F5TTS(quantize="int8") serving path, reproducible from the bench CLI
     ap.add_argument("--quantize", choices=["int8"], default=None)
     args = ap.parse_args()
+    _ensure_backend(f"rtf_nfe{args.nfe}_bs{args.batch}")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from f5e_tts_tpu.config import CFMConfig, preset
     from f5e_tts_tpu.models import cfm as fcfm
     from f5e_tts_tpu.models import dit as fdit
