@@ -312,21 +312,11 @@ class TTSEngine:
         elif self.tokenizer == "phone-level-pinyin":
             toks = ftext.convert_char_to_finer_pinyin(list(texts))
         elif self.tokenizer == "g2p-mix":
-            # reference: eval/utils_eval.py:177-183 — G2pMix phonemization with
-            # a space between word tokens (except symbols)
-            try:
-                from g2p_mix import G2pMix
-            except ImportError as e:
-                raise ImportError("g2p-mix tokenizer needs the g2p_mix package") from e
-            g2p = getattr(self, "_g2p", None) or G2pMix()
-            self._g2p = g2p
-            toks = []
-            for t in texts:
-                items = g2p.g2p(t)
-                phones = list(items[0].phones) if items else []
-                for token in items[1:]:
-                    phones += list(token.phones) if token.lang == "SYM" else [" "] + list(token.phones)
-                toks.append(phones)
+            # reference: eval/utils_eval.py:135-137 — G2pMix phonemization with
+            # a space between word tokens (except symbols); raw phones (no rime
+            # split — that is the train-side convention, dataset.py:141-181)
+            toks = ftext.g2p_mix_phonemize(list(texts), split_rimes=False,
+                                           g2p=getattr(self, "_g2p", None))
         else:  # char / custom pre-tokenized
             toks = [list(t) for t in texts]
         if self.use_intersperse:

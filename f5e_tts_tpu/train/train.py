@@ -13,6 +13,38 @@ import argparse
 import os
 
 
+def make_tokenize(model_cfg, vocab):
+    """Build the train-side text->ids function for a model config.
+
+    Mirrors the reference's in-dataset tokenization (model/dataset.py:128-181):
+    pinyin variants, bytes, on-the-fly g2p-mix phonemization with ZH rime
+    splitting, char fall-through for char/custom vocabs, and interspersing
+    when the align-loss/cross-mask paths need it (cfm.py:509-510).
+    """
+    from f5e_tts_tpu.utils import text as ftext
+
+    def tokenize(texts):
+        if model_cfg.tokenizer in ("pinyin", "char-level-pinyin"):
+            toks = ftext.convert_char_to_pinyin(list(texts))
+        elif model_cfg.tokenizer == "phone-level-pinyin":
+            toks = ftext.convert_char_to_finer_pinyin(list(texts))
+        elif model_cfg.tokenizer == "byte":
+            return ftext.list_str_to_bytes(list(texts))
+        elif model_cfg.tokenizer == "g2p-mix":
+            # raises loudly when the g2p_mix package is absent instead of
+            # silently char-splitting into out-of-vocab ids
+            toks = ftext.g2p_mix_phonemize(list(texts), split_rimes=True)
+        else:
+            toks = [list(t) for t in texts]
+        arch = model_cfg.arch
+        if getattr(arch, "codebook", None) and (arch.codebook.use_align_loss
+                                                or arch.ppg.use_cross_mask):
+            toks = ftext.intersperse(toks)  # cfm.py:509-510
+        return ftext.list_str_to_idx(toks, vocab)
+
+    return tokenize
+
+
 def main(argv=None):
     from f5e_tts_tpu.config import load_train_yaml, load_yaml
     from f5e_tts_tpu.data.dataset import ArrowSpeechDataset, build_loader
@@ -41,20 +73,7 @@ def main(argv=None):
         model_cfg.tokenizer_path or dataset_name, model_cfg.tokenizer,
         data_dir=args.data_dir)
 
-    def tokenize(texts):
-        if model_cfg.tokenizer in ("pinyin", "char-level-pinyin"):
-            toks = ftext.convert_char_to_pinyin(list(texts))
-        elif model_cfg.tokenizer == "phone-level-pinyin":
-            toks = ftext.convert_char_to_finer_pinyin(list(texts))
-        elif model_cfg.tokenizer == "byte":
-            return ftext.list_str_to_bytes(list(texts))
-        else:
-            toks = [list(t) for t in texts]
-        arch = model_cfg.arch
-        if getattr(arch, "codebook", None) and (arch.codebook.use_align_loss
-                                                or arch.ppg.use_cross_mask):
-            toks = ftext.intersperse(toks)  # cfm.py:509-510
-        return ftext.list_str_to_idx(toks, vocab)
+    tokenize = make_tokenize(model_cfg, vocab)
 
     # dataset_type routing (reference dataset.py:309-373): CustomDataset /
     # CustomDatasetPath / HFDataset (hub-hosted; see data/dataset.py)

@@ -108,6 +108,76 @@ def list_str_to_bytes(texts: Sequence[str], padding_value: int = -1) -> np.ndarr
     return out
 
 
+def split_rime(rime: str) -> List[str]:
+    """Split a toned Mandarin rime to vocab granularity (reference:
+    model/dataset.py:141-154). The tone digit rides with the final 'er'/'ng'
+    (or the last single char); every preceding char is its own phone:
+    'iang3' -> ['i', 'a', 'ng3'], 'er2' -> ['er2'], 'a1' -> ['a1']."""
+    if not rime or not rime[-1].isdigit():
+        raise ValueError(f"rime must end in a tone digit: {rime!r}")
+    if len(rime) >= 3 and rime[-3:-1] in ("er", "ng"):
+        last, rime = rime[-3:], rime[:-3]
+    else:
+        last, rime = rime[-2:], rime[:-2]
+    return list(rime) + [last]
+
+
+def g2p_mix_process_token(token) -> List[str]:
+    """One g2p-mix token -> phone list at training granularity (reference:
+    model/dataset.py:156-164): ZH finals are rime-split, NUM tokens become
+    individual digits, everything else passes through."""
+    phones = list(token.phones)
+    if token.lang == "ZH":
+        phones = phones[:-1] + split_rime(phones[-1])
+    if token.lang == "NUM":
+        phones = list(phones[0])
+    return phones
+
+
+_g2p_singleton = None
+
+
+def g2p_mix_phonemize(texts: Sequence[str], *, split_rimes: bool,
+                      g2p=None) -> List[List[str]]:
+    """Phonemize with g2p_mix into per-sentence phone lists.
+
+    split_rimes=True is the TRAIN-side convention (reference:
+    model/dataset.py:166-181 — " n't" fixup, ZH rime splitting, NUM digit
+    splitting); False is the eval/infer convention (utils_eval.py:135-137 —
+    raw phones). Both insert " " before each non-SYM token after the first.
+
+    ``g2p=`` injects a prebuilt phonemizer (tests pass a fixture); otherwise
+    a module singleton is built, raising a loud ImportError when the
+    ``g2p_mix`` package is absent.
+    """
+    if g2p is None:
+        global _g2p_singleton
+        if _g2p_singleton is None:
+            try:
+                from g2p_mix import G2pMix
+            except ImportError as e:
+                raise ImportError(
+                    "tokenizer='g2p-mix' requires the g2p_mix package, which is "
+                    "not installed — install g2p-mix or choose another tokenizer "
+                    "(silent char fall-through would emit ids outside the phone "
+                    "vocab)") from e
+            _g2p_singleton = G2pMix()
+        g2p = _g2p_singleton
+    proc = g2p_mix_process_token if split_rimes else (lambda t: list(t.phones))
+    out: List[List[str]] = []
+    for text in texts:
+        if split_rimes:
+            # LibriTTS spaces out "n't"; g2p-mix expects it attached
+            # (reference: dataset.py:176)
+            text = text.replace(" n't", "n't")
+        items = g2p.g2p(text)
+        phones = proc(items[0]) if items else []
+        for token in items[1:]:
+            phones += proc(token) if token.lang == "SYM" else [" "] + proc(token)
+        out.append(phones)
+    return out
+
+
 def intersperse(texts: Sequence[Sequence[str]], sep: str = "_") -> List[List[str]]:
     """[a, b] -> [_, a, _, b, _] per sentence (reference: durpred/utils.py:10-16)."""
     out = []
