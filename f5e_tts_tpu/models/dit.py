@@ -348,6 +348,15 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
         # ppermute. Requires tp==1 (the head-sharding shard_map cannot nest
         # inside the pipe shard_map).
         assert _tp_shards() == 1, "pipeline parallelism requires tp == 1"
+        # ring attention's shard_map cannot nest inside the pipe shard_map
+        # either — same restriction as tp, so refuse an active SP context
+        from f5e_tts_tpu.ops.attention import _SP as _sp_ctx
+        assert (_sp_ctx["mesh"] is None
+                or _sp_ctx["axis"] not in _sp_ctx["mesh"].shape
+                or int(_sp_ctx["mesh"].shape[_sp_ctx["axis"]]) == 1), (
+            "pipeline parallelism requires seq == 1: clear the SP context "
+            "(set_sp_context(None)) — ring attention cannot nest inside the "
+            "pipe shard_map")
         pp_mesh, pp_axis, n_micro = pp_context()
         mask_b = mask if mask is not None else jnp.ones(
             (x.shape[0], x.shape[1]), bool)
@@ -355,10 +364,20 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
         # the pipeline runs per data replica on its local shard
         batch_axes = tuple(a for a in ("data", "fsdp")
                            if a in pp_mesh.axis_names and pp_mesh.shape[a] > 1)
+        # fold the microbatch index into the per-layer dropout rngs so the
+        # M microbatches draw independent masks (without this, rows i and
+        # i+B/M of the batch would share every dropout mask)
+        fold = None
+        if training:
+            def fold(sl, m):
+                blk_sl, rngs_sl = sl
+                return blk_sl, jax.vmap(
+                    lambda r: jax.random.fold_in(r, m))(rngs_sl)
         x = gpipe_scan(
             lambda h, sl, t_e, mk: block_fn(h, sl, t_e, mk),
             x, (blocks, layer_rngs), pp_mesh, axis=pp_axis, n_micro=n_micro,
-            batched=(t_emb, mask_b), batch_axes=batch_axes or None)
+            batched=(t_emb, mask_b), batch_axes=batch_axes or None,
+            fold_scanned=fold)
     else:
         def body(h, scanned):
             return block_fn(h, scanned, t_emb, mask), None

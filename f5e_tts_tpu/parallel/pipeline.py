@@ -13,8 +13,12 @@ a TPU-native scale-out path for chips whose HBM cannot hold all layers.
 
 Semantics: numerically identical to the plain `lax.scan` when the body is
 deterministic. Bodies that draw batch-shaped randomness (dropout) see a
-split batch, so draws differ from the unpipelined run — statistically
-equivalent, bit-different; tests pin the dropout=0 case bitwise.
+split batch, so draws differ from the unpipelined run — bit-different but
+unbiased PROVIDED each microbatch gets independent draws: pass
+`fold_scanned` to fold the microbatch index into any rngs riding in
+`scanned` (without it, every microbatch would reuse the same per-layer rng
+slice and rows i and i+B/M of the batch would share dropout masks). Tests
+pin the dropout=0 case bitwise and check per-microbatch rng independence.
 
 Composition: TP inside a pipeline stage is not supported (the attention
 head-sharding shard_map cannot nest inside the pipe shard_map) — gate PP
@@ -70,7 +74,7 @@ def pp_context():
 
 def gpipe_scan(body, h0, scanned, mesh: Mesh, *, axis: str = "pipe",
                n_micro: Optional[int] = None, batched=(), const=(),
-               batch_axes=None):
+               batch_axes=None, fold_scanned=None):
     """Pipeline-parallel equivalent of
     `lax.scan(lambda h, sl: (body(h, sl, *batched, *const), None), h0, scanned)[0]`.
 
@@ -86,6 +90,11 @@ def gpipe_scan(body, h0, scanned, mesh: Mesh, *, axis: str = "pipe",
       dim of h0/batched is ALREADY sharded over (data parallelism). The
       pipeline then runs on the local batch shard per data replica instead
       of all-gathering it; n_micro divides the LOCAL batch.
+    - fold_scanned: optional (scanned_slice, m) -> scanned_slice applied per
+      microbatch index m before the stage body runs. Use it to fold m into
+      per-layer dropout rngs so microbatches draw INDEPENDENT masks (the
+      slice is otherwise reused verbatim for all M microbatches). Not
+      applied on the S==1 fallback, which is the sequential scan itself.
 
     Returns the (B, ...) output of the final block, identical to the
     sequential scan (up to body-internal randomness over batch shape).
@@ -119,18 +128,20 @@ def gpipe_scan(body, h0, scanned, mesh: Mesh, *, axis: str = "pipe",
         T = M + S - 1
         perm = [(i, (i + 1) % S) for i in range(S)]
 
-        def run_stage(h, b_micro):
+        def run_stage(h, b_micro, scanned_m):
             def step(c, sl):
                 return body(c, sl, *b_micro, *const_all), None
 
-            return jax.lax.scan(step, h, scanned_local)[0]
+            return jax.lax.scan(step, h, scanned_m)[0]
 
         def tick(buf, t):
             m_in = jnp.clip(t, 0, M - 1)            # microbatch entering stage 0
             m_here = jnp.clip(t - s, 0, M - 1)      # microbatch at THIS stage
             inp = jnp.where(s == 0, hs[m_in], buf)
             b_micro = jax.tree.map(lambda a: a[m_here], bm)
-            y = run_stage(inp, b_micro)
+            scanned_m = (scanned_local if fold_scanned is None
+                         else fold_scanned(scanned_local, m_here))
+            y = run_stage(inp, b_micro, scanned_m)
             nxt = jax.lax.ppermute(y, axis, perm)
             return nxt, y
 

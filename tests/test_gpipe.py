@@ -211,3 +211,131 @@ def test_pp_context_roundtrip():
     finally:
         set_pp_context(None)
     assert pp_shards() == 1
+
+
+def test_gpipe_fold_scanned_applies_microbatch_index():
+    """fold_scanned must hand microbatch m a folded scanned slice; verify
+    against a manual per-microbatch computation."""
+    depth, B, N, D, S, M = 4, 8, 4, 8, 2, 4
+    r = np.random.default_rng(7)
+    w = jnp.asarray(r.standard_normal((depth, D, D)).astype(np.float32)) * 0.2
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(depth))
+
+    def body(h, sl, t_emb, mask):
+        wd, key = sl
+        noise = jax.random.uniform(key, h.shape[1:])  # batch-shaped draw
+        return jnp.tanh(h @ wd) + noise[None]
+
+    def fold(sl, m):
+        wd, keys = sl
+        return wd, jax.vmap(lambda k: jax.random.fold_in(k, m))(keys)
+
+    h0 = jnp.asarray(r.standard_normal((B, N, D)).astype(np.float32))
+    t_emb = jnp.zeros((B, D), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    mesh = _pipe_mesh(S)
+    out = gpipe_scan(body, h0, (w, rngs), mesh, n_micro=M,
+                     batched=(t_emb, mask), fold_scanned=fold)
+
+    # manual: microbatch m runs the full depth with fold_in(rng_d, m)
+    mb = B // M
+    expect = []
+    for m in range(M):
+        h = h0[m * mb:(m + 1) * mb]
+        for d in range(depth):
+            key = jax.random.fold_in(rngs[d], m)
+            h = jnp.tanh(h @ w[d]) + jax.random.uniform(key, h.shape[1:])[None]
+        expect.append(h)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.concatenate(expect)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dit_pp_dropout_masks_independent_across_microbatches():
+    """Regression: rows i and i+B/M used to share every dropout mask because
+    gpipe_scan reused the same per-layer rng slice for all microbatches.
+    Duplicate inputs placed in different microbatches must now produce
+    DIFFERENT training outputs (independent masks), while the same run stays
+    deterministic end-to-end."""
+    from f5e_tts_tpu.config import DiTConfig
+    from f5e_tts_tpu.models import dit as fdit
+
+    cfg = DiTConfig(dim=64, depth=8, heads=2, dim_head=32, ff_mult=2,
+                    mel_dim=8, text_dim=32, conv_layers=1, dropout=0.3,
+                    checkpoint_activations=False)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), cfg, 16)
+    # init_dit uses AdaLN-Zero (dit.py: linear_zero_init for attn_norm), so a
+    # fresh trunk is an IDENTITY map (gate_msa = gate_mlp = 0) and dropout is
+    # gated out of the output entirely. Randomize the modulation weights so
+    # dropout effects are observable.
+    am = params["blocks"]["attn_norm"]
+    params["blocks"]["attn_norm"] = {
+        **am, "w": 0.1 * jax.random.normal(jax.random.PRNGKey(7),
+                                           am["w"].shape, am["w"].dtype)}
+    # proj_out is zero-init too -> pred would be all-zeros for ANY trunk
+    po = params["proj_out"]
+    params["proj_out"] = {
+        **po, "w": 0.05 * jax.random.normal(jax.random.PRNGKey(8),
+                                            po["w"].shape, po["w"].dtype)}
+    b, n, nt = 8, 32, 8  # M=4 -> microbatch size 2; rows 0 and 2 duplicate
+    r = np.random.default_rng(0)
+    row_x = r.standard_normal((1, n, cfg.mel_dim)).astype(np.float32)
+    row_c = r.standard_normal((1, n, cfg.mel_dim)).astype(np.float32)
+    row_t = r.integers(0, 16, (1, nt)).astype(np.int32)
+    x = jnp.asarray(np.repeat(row_x, b, 0))
+    cond = jnp.asarray(np.repeat(row_c, b, 0))
+    text = jnp.asarray(np.repeat(row_t, b, 0))
+    time = jnp.full((b,), 0.5)
+    f = jnp.zeros((b,), bool)
+
+    def fwd(seed):
+        pred, _ = fdit.dit_forward(params, state, cfg, x=x, cond=cond,
+                                   text_ids=text, time=time, drop_audio_cond=f,
+                                   drop_text=f, drop_ppg=f, training=True,
+                                   rng=jax.random.PRNGKey(seed),
+                                   compute_dtype=jnp.float32)
+        return np.asarray(pred)
+
+    set_pp_context(_pipe_mesh(4), n_micro=4)
+    try:
+        out = fwd(5)
+        out2 = fwd(5)
+    finally:
+        set_pp_context(None)
+    np.testing.assert_array_equal(out, out2)  # deterministic given the seed
+    # rows 0/1 share a microbatch -> same mask draw shape but different rows
+    # of the (mb, n, d) mask; the bug was across-microbatch: row0 == row2
+    assert np.abs(out[0] - out[2]).max() > 1e-6, (
+        "rows in different microbatches got identical dropout masks")
+
+
+def test_pp_refuses_active_sp_context():
+    """pipe>1 with an active seq>1 SP context must fail loudly (ring
+    attention cannot nest inside the pipe shard_map)."""
+    from f5e_tts_tpu.config import DiTConfig
+    from f5e_tts_tpu.models import dit as fdit
+    from f5e_tts_tpu.ops.attention import set_sp_context
+
+    cfg = DiTConfig(dim=64, depth=8, heads=2, dim_head=32, ff_mult=2,
+                    mel_dim=8, text_dim=32, conv_layers=1, dropout=0.0)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), cfg, 16)
+    b, n, nt = 8, 32, 8
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    cond = jnp.asarray(r.standard_normal((b, n, cfg.mel_dim)).astype(np.float32))
+    text = jnp.asarray(r.integers(0, 16, (b, nt)).astype(np.int32))
+    time = jnp.linspace(0.1, 0.9, b)
+    f = jnp.zeros((b,), bool)
+
+    sp_mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("seq",))
+    set_pp_context(_pipe_mesh(4), n_micro=4)
+    set_sp_context(sp_mesh, min_seq=2)
+    try:
+        with pytest.raises(AssertionError, match="seq == 1"):
+            fdit.dit_forward(params, state, cfg, x=x, cond=cond,
+                             text_ids=text, time=time, drop_audio_cond=f,
+                             drop_text=f, drop_ppg=f,
+                             compute_dtype=jnp.float32)
+    finally:
+        set_pp_context(None)
+        set_sp_context(None)
