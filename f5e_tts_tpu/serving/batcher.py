@@ -229,7 +229,11 @@ class DynamicBatcher:
         jax.block_until_ready(out)
         t_ready = time.perf_counter()
 
-        gen = np.maximum(durations - lens, 1).astype(np.int32)
+        # min-1 only for shape safety in the device slice; results are trimmed
+        # to the true generated length below so a degenerate request returns
+        # an EMPTY wav/mel exactly like the host _finish path
+        true_gen = np.maximum(durations - lens, 0).astype(np.int32)
+        gen = np.maximum(true_gen, 1)
         pad = eng.vocoder_pad_to or 1
         lmax = int(gen.max())
         L = max(-(-lmax // pad) * pad, pad)
@@ -250,8 +254,8 @@ class DynamicBatcher:
 
         hop = eng.mel.hop_length
         for i, r in enumerate(batch):
-            mel_i = mels[i, : gen[i]] if mels is not None else None
-            r.future.set_result((wavs[i, : gen[i] * hop], mel_i))
+            mel_i = mels[i, : true_gen[i]] if mels is not None else None
+            r.future.set_result((wavs[i, : true_gen[i] * hop], mel_i))
         self.stage_times.append({
             "fold": len(batch),
             "sampler_s": t_ready - t_launch,
