@@ -192,16 +192,21 @@ class Trainer:
         # whole graph (~30 s at Small scale) against the new signature.
         jitted = None
 
-        def step(ts, batch, rng):
+        def _ensure_jitted(ts):
             nonlocal jitted
             if jitted is None:
                 state_sh = jax.tree.map(self._canonical_sharding, ts)
                 jitted = jax.jit(full_step, donate_argnums=(0,),
                                  in_shardings=(state_sh, None, None),
                                  out_shardings=(state_sh, None))
-            return jitted(ts, batch, rng)
+            return jitted
 
-        step.lower = lambda *args: jitted.lower(*args)  # for cost analysis
+        def step(ts, batch, rng):
+            return _ensure_jitted(ts)(ts, batch, rng)
+
+        # for cost analysis: builds the jit (with pinned shardings) on demand
+        # so lower() works before the first step() call too
+        step.lower = lambda ts, batch, rng: _ensure_jitted(ts).lower(ts, batch, rng)
         return step
 
     # ------------------------------------------------------------------
