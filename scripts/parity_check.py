@@ -219,6 +219,55 @@ def main():
                float(np.abs(out - expect).max()), 2e-2)
 
     # ------------------------------------------------------------------
+    # stage 2b: int8 (W8A8) sampler vs the float sampler
+    # The serving flagship's opt-in quantization (ops/quant.py,
+    # F5TTS(quantize="int8")) — measured on REAL weights the moment the
+    # checkpoint artifact lands; random-weight bound until then. When eval
+    # scorers are present too, run eval/score_cli over int8 output for the
+    # WER/SIM delta (BENCHMARKS.md int8 caveat).
+    # ------------------------------------------------------------------
+    from f5e_tts_tpu.ops.quant import quantize_dit_params
+
+    def int8_vs_float(q_label, cfg_q, params_q, state_q, vocab_n, steps, dur_q):
+        rngq = np.random.default_rng(3)
+        cond_q = rngq.standard_normal((1, 24, cfg_q.mel_dim)).astype(np.float32)
+        tid_q = rngq.integers(0, vocab_n, (1, 16)).astype(np.int32)
+        inputs_q = fcfm.prepare_inputs(
+            cond=jnp.asarray(cond_q), lens=jnp.asarray([24]),
+            duration=jnp.asarray([dur_q]), max_duration=dur_q,
+            text_ids=jnp.asarray(tid_q))
+        kw = dict(steps=steps, cfg_strength=2.0, sway_coef=-1.0,
+                  use_mask=False, compute_dtype=jnp.float32)
+        ref_o, _ = fcfm.sample(params_q, state_q, cfg_q, CFMConfig(), inputs_q,
+                               jax.random.PRNGKey(0), **kw)
+        int8_o, _ = fcfm.sample(quantize_dit_params(params_q), state_q, cfg_q,
+                                CFMConfig(), inputs_q, jax.random.PRNGKey(0), **kw)
+        a = np.asarray(ref_o)[0, 24:]
+        b8 = np.asarray(int8_o)[0, 24:]
+        cos = float(np.dot(a.ravel(), b8.ravel())
+                    / max(np.linalg.norm(a) * np.linalg.norm(b8), 1e-9))
+        record(f"int8_sample_vs_fp32_{q_label}", "fail",
+               f"NFE={steps} dur={dur_q}, max|err|={np.abs(a - b8).max():.3e}, "
+               f"cosine={cos:.5f}", 1.0 - cos, 5e-3)
+
+    if ckpt and vocab_path:
+        int8_vs_float("real_weights", cfg, params, state, len(vocab),
+                      args.steps, 96)
+    else:
+        q_cfg = DiTConfig(dim=128, depth=4, heads=4, dim_head=32, ff_mult=2,
+                          mel_dim=100, text_dim=64, conv_layers=2, dropout=0.0)
+        q_params, q_state = fdit.init_dit(jax.random.PRNGKey(11), q_cfg, 64)
+        # init_dit is AdaLN-Zero (identity trunk, zero proj_out) — randomize
+        # the gates + output head so the bound measures a live network
+        for key, k2, s in (("blocks", "attn_norm", 0.1), ("proj_out", None, 0.05)):
+            tgt = q_params[key][k2] if k2 else q_params[key]
+            tgt["w"] = s * jax.random.normal(
+                jax.random.PRNGKey(12 if k2 else 13), tgt["w"].shape)
+        record("int8_real_weights", "skip",
+               "real ckpt absent -> random-weight bound below")
+        int8_vs_float("random_weights", q_cfg, q_params, q_state, 64, 8, 64)
+
+    # ------------------------------------------------------------------
     # stage 3: Vocos vocoder
     # ------------------------------------------------------------------
     voc = None
