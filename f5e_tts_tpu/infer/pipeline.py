@@ -274,18 +274,21 @@ class TTSEngine:
         return wav[0] if single else wav
 
     def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,
-                        nfe_steps: Optional[int] = None, return_mel: bool = True):
+                        nfe_steps: Optional[int] = None, return_mel: bool = True,
+                        wire_dtype: str = "float32"):
         """Attach a DynamicBatcher. infer() chunks at the batcher's exact
         sampler configuration (nfe + default cfg/sway, plain-CFG mode) route
         through it; anything else falls back to the direct jit path.
         return_mel=False skips the generated-mel device fetch (wav-only
-        servers)."""
+        servers); wire_dtype="int16" quantizes the wav to pcm16 on device so
+        the fetch moves half the bytes (futures still resolve float32)."""
         from f5e_tts_tpu.serving.batcher import DynamicBatcher
 
         self.batcher = DynamicBatcher(self, max_batch=max_batch,
                                       window_ms=window_ms, nfe_steps=nfe_steps,
                                       text_pad_to=self.text_pad_to,
-                                      return_mel=return_mel)
+                                      return_mel=return_mel,
+                                      wire_dtype=wire_dtype)
         return self.batcher
 
     def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int):

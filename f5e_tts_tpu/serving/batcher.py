@@ -38,8 +38,15 @@ class DynamicBatcher:
     def __init__(self, engine, max_batch: int = 4, window_ms: float = 20.0,
                  nfe_steps: Optional[int] = None, cfg_strength: Optional[float] = None,
                  sway: Optional[float] = None, text_pad_to: int = 64,
-                 return_mel: bool = True):
+                 return_mel: bool = True, wire_dtype: str = "float32"):
         self.engine = engine
+        # wire_dtype="int16": quantize the wav to pcm16 ON DEVICE (inside the
+        # fused slice+vocode dispatch) so the device->host fetch moves half
+        # the bytes — the fetch dominates end-to-end RTF through a tunneled
+        # device. Futures still resolve float32 wavs (converted on host);
+        # default stays float32 for bit-parity with the direct path.
+        assert wire_dtype in ("float32", "int16"), wire_dtype
+        self.wire_dtype = wire_dtype
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         icfg = engine.infer_cfg
@@ -237,9 +244,11 @@ class DynamicBatcher:
         pad = eng.vocoder_pad_to or 1
         lmax = int(gen.max())
         L = max(-(-lmax // pad) * pad, pad)
-        fused = getattr(eng.vocoder_decode, "device_sliced", None)
+        i16 = (getattr(eng.vocoder_decode, "device_sliced_i16", None)
+               if self.wire_dtype == "int16" else None)
+        fused = i16 or getattr(eng.vocoder_decode, "device_sliced", None)
         if fused is not None:
-            # one dispatch: slice+mask+vocode in a single compiled graph
+            # one dispatch: slice+mask+vocode (+pcm16 quant) in one graph
             wav_dev, mel_dev = fused(out, jnp.asarray(lens), jnp.asarray(gen), L)
         else:
             mel_dev = _slice_gen(out, jnp.asarray(lens), jnp.asarray(gen), L)
@@ -247,7 +256,11 @@ class DynamicBatcher:
         jax.block_until_ready(wav_dev)
         t_voc = time.perf_counter()
 
-        wavs = np.asarray(wav_dev, np.float32)
+        wavs = np.asarray(wav_dev)
+        if wavs.dtype == np.int16:
+            wavs = wavs.astype(np.float32) / 32767.0
+        else:
+            wavs = wavs.astype(np.float32)
         t_wav = time.perf_counter()
         mels = np.asarray(mel_dev, np.float32) if self.return_mel else None
         t_mel = time.perf_counter()

@@ -281,6 +281,9 @@ def main(argv=None):
     pc.add_argument("--wav_only", action="store_true",
                     help="return_mel=False: skip the generated-mel device "
                          "fetch (the wav-only server config)")
+    pc.add_argument("--wire", choices=["float32", "int16"], default="float32",
+                    help="int16: pcm16-quantize the wav on device, halving "
+                         "the device->host fetch bytes")
     pl = sub.add_parser("openloop")
     pl.add_argument("--model", default="F5TTS_v1_Base")
     pl.add_argument("--ckpt", default="")
@@ -296,6 +299,9 @@ def main(argv=None):
     pl.add_argument("--wav_only", action="store_true",
                     help="return_mel=False: skip the generated-mel device "
                          "fetch (the wav-only server config)")
+    pl.add_argument("--wire", choices=["float32", "int16"], default="float32",
+                    help="int16: pcm16-quantize the wav on device, halving "
+                         "the device->host fetch bytes")
     ps = sub.add_parser("server")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=9998)
@@ -322,7 +328,8 @@ def main(argv=None):
             tts.engine.enable_batching(max_batch=args.max_batch,
                                        window_ms=args.batch_window_ms,
                                        nfe_steps=args.nfe,
-                                       return_mel=not args.wav_only)
+                                       return_mel=not args.wav_only,
+                                       wire_dtype=args.wire)
         wav, sr = read_wav(args.ref_audio)
         stats = bench_concurrent(tts.engine, wav, sr, args.ref_text,
                                  DEFAULT_TEXTS[:26], args.nfe,
@@ -337,7 +344,8 @@ def main(argv=None):
             tts.engine.enable_batching(max_batch=args.max_batch,
                                        window_ms=args.batch_window_ms,
                                        nfe_steps=args.nfe,
-                                       return_mel=not args.wav_only)
+                                       return_mel=not args.wav_only,
+                                       wire_dtype=args.wire)
         wav, sr = read_wav(args.ref_audio)
         texts = (DEFAULT_TEXTS * (args.requests // len(DEFAULT_TEXTS) + 1))[: args.requests]
         stats = bench_openloop(tts.engine, wav, sr, args.ref_text, texts,

@@ -55,7 +55,12 @@ class TTSStreamingProcessor:
 
     def __init__(self, engine, ref_audio: np.ndarray, ref_sr: int, ref_text: str,
                  chunk_size: int = 2048, nfe_steps: Optional[int] = None,
-                 warm_up: bool = True):
+                 warm_up: bool = True, wire: str = "f32"):
+        # wire="pcm16": stream int16 PCM frames (half the bytes) instead of
+        # the reference protocol's float32 (socket_server.py:138-178). Opt-in;
+        # f32 stays the default for client protocol parity.
+        assert wire in ("f32", "pcm16"), wire
+        self.wire = wire
         self.engine = engine
         self.ref_audio = ref_audio
         self.ref_sr = ref_sr
@@ -94,7 +99,12 @@ class TTSStreamingProcessor:
                                    chunk_size=self.chunk_size)
         for chunk, _sr in stream:
             if len(chunk):
-                send(np.asarray(chunk, np.float32).tobytes())
+                if self.wire == "pcm16":
+                    pcm = np.clip(np.asarray(chunk, np.float32) * 32767.0,
+                                  -32768, 32767).astype(np.int16)
+                    send(pcm.tobytes())
+                else:
+                    send(np.asarray(chunk, np.float32).tobytes())
         send(b"END")
 
 
@@ -147,6 +157,12 @@ def main(argv=None):
                         "concurrent connections co-batch like the reference's "
                         "Triton ingress (config.pbtxt:15-18)")
     p.add_argument("--batch_window_ms", type=float, default=20.0)
+    p.add_argument("--wire", choices=["f32", "pcm16"], default="f32",
+                   help="pcm16: stream int16 PCM (half the bytes per chunk); "
+                        "f32 matches the reference client protocol")
+    p.add_argument("--wire_device", choices=["float32", "int16"], default="float32",
+                   help="int16: quantize the wav to pcm16 ON DEVICE in the "
+                        "batcher so the device->host fetch is halved too")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -164,9 +180,10 @@ def main(argv=None):
         tts.engine.enable_batching(max_batch=args.max_batch,
                                    window_ms=args.batch_window_ms,
                                    nfe_steps=args.nfe_step,
-                                   return_mel=False)
+                                   return_mel=False,
+                                   wire_dtype=args.wire_device)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
-                                      nfe_steps=args.nfe_step)
+                                      nfe_steps=args.nfe_step, wire=args.wire)
     serve(processor, args.host, args.port)
 
 

@@ -364,3 +364,90 @@ def test_bench_openloop_poisson(rng):
     assert stats["p50_ms"] > 0
     assert stats["batch_sizes"]
     assert 0 < stats["rtf_net_of_transfer"] <= stats["rtf"] + 1e-9
+
+
+def test_batcher_int16_wire_matches_f32(rng):
+    """wire_dtype='int16': the on-device pcm16 quantization halves the wav
+    fetch bytes; futures still resolve float32 within 1 LSB (1/32767) of the
+    f32 wire path."""
+    import dataclasses
+
+    from f5e_tts_tpu.infer.pipeline import slice_gen_core
+
+    def mk():
+        def voc_host(m):
+            return np.asarray(m, np.float32).mean(-1).repeat(64, -1)
+
+        voc_host.device = lambda m: jnp.repeat(jnp.mean(
+            m.astype(jnp.float32), axis=-1), 64, axis=-1)
+
+        def fused(out, starts, gens, L):
+            mel = slice_gen_core(out, starts, gens, L)
+            return jnp.repeat(jnp.mean(mel, axis=-1), 64, axis=-1), mel
+
+        def fused_i16(out, starts, gens, L):
+            wav, mel = fused(out, starts, gens, L)
+            # match api.py's device-side pcm16 quantization exactly
+            wav = jnp.clip(jnp.round(wav.astype(jnp.float32) * 32767.0),
+                           -32768, 32767).astype(jnp.int16)
+            return wav, mel
+
+        voc_host.device_sliced = fused
+        voc_host.device_sliced_i16 = fused_i16
+        eng = _mk_engine()
+        return dataclasses.replace(eng, vocoder_decode=voc_host)
+
+    ids_a = list_str_to_idx([list("abc gh")], VOCAB)[0]
+    ids_b = list_str_to_idx([list("h gfe")], VOCAB)[0]
+    ref_a = rng.standard_normal((40, 12)).astype(np.float32)
+    ref_b = rng.standard_normal((48, 12)).astype(np.float32)
+
+    outs = {}
+    for wire in ("float32", "int16"):
+        batcher = DynamicBatcher(mk(), max_batch=4, window_ms=500,
+                                 nfe_steps=2, wire_dtype=wire)
+        fa = batcher.submit(ref_a, ids_a, duration=100, seed=5)
+        fb = batcher.submit(ref_b, ids_b, duration=90, seed=9)
+        outs[wire] = (fa.result(timeout=300), fb.result(timeout=300))
+        batcher.stop()
+
+    for (wav_f, mel_f), (wav_q, mel_q) in zip(outs["float32"], outs["int16"]):
+        assert wav_q.dtype == np.float32
+        assert wav_q.shape == wav_f.shape
+        # quantization error bounded by one pcm16 LSB
+        assert np.abs(wav_q - np.clip(wav_f, -1.0, 1.0)).max() <= 1.001 / 32767
+        np.testing.assert_allclose(mel_q, mel_f, rtol=1e-5, atol=1e-6)
+
+
+def test_socket_pcm16_wire_framing():
+    """TTSStreamingProcessor(wire='pcm16') streams int16 frames; 'f32' (the
+    reference protocol, socket_server.py:138-178) streams float32."""
+    from f5e_tts_tpu.serving.socket_server import TTSStreamingProcessor
+
+    class _FakeEngine:
+        class mel:
+            target_sample_rate = 8000
+
+        class infer_cfg:
+            nfe_steps = 2
+
+        def infer(self, *a, streaming=False, chunk_size=2048, **k):
+            wav = (0.5 * np.sin(np.linspace(0, 40, 4096))).astype(np.float32)
+            for i in range(0, len(wav), chunk_size):
+                yield wav[i : i + chunk_size], 8000
+
+    for wire, dtype in (("f32", np.float32), ("pcm16", np.int16)):
+        proc = TTSStreamingProcessor.__new__(TTSStreamingProcessor)
+        proc.engine = _FakeEngine()
+        proc.ref_audio, proc.ref_sr, proc.ref_text = np.zeros(80, np.float32), 8000, "r"
+        proc.chunk_size, proc.nfe_steps, proc.wire = 2048, 2, wire
+        sent = []
+        proc.generate_stream("hello", sent.append)
+        assert sent[-1] == b"END"
+        frames = [np.frombuffer(b, dtype) for b in sent[:-1]]
+        assert frames and all(len(f) for f in frames)
+        full = np.concatenate(frames)
+        if dtype is np.int16:
+            full = full.astype(np.float32) / 32767.0
+        expect = (0.5 * np.sin(np.linspace(0, 40, 4096))).astype(np.float32)
+        np.testing.assert_allclose(full, expect, atol=1.1 / 32767)
