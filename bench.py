@@ -27,7 +27,8 @@ def _probe_backend(timeout_s: float) -> bool:
     wedge the whole benchmark. Returns True iff a backend initialized within
     ``timeout_s``.
     """
-    code = "import jax; jax.devices(); print('ok')"
+    code = os.environ.get("F5E_BENCH_PROBE_CODE",
+                          "import jax; jax.devices(); print('ok')")
     try:
         r = subprocess.run(
             [sys.executable, "-c", code],
@@ -51,10 +52,13 @@ def _ensure_backend(metric: str) -> None:
     parseable JSON line and exit 0.
     """
     delays = (0, 30, 60)  # three attempts, ~3.5 min worst case w/ 60s probes
+    probe_timeout = float(os.environ.get("F5E_BENCH_PROBE_TIMEOUT", "75"))
+    if os.environ.get("F5E_BENCH_NO_RETRY"):  # tests: single fast attempt
+        delays = (0,)
     for d in delays:
         if d:
             time.sleep(d)
-        if _probe_backend(timeout_s=75):
+        if _probe_backend(timeout_s=probe_timeout):
             return
     print(json.dumps({
         "metric": metric,
