@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-4 on-chip evidence chain (VERDICT r3 next-round #1).
+# Run when the axon tunnel is up:  bash scripts/onchip_round4.sh [outdir]
+#
+# Re-establishes every number the round-3 outage voided, in priority order:
+#  1. verify drive (end-to-end correctness on chip)
+#  2. bench.py headline: NFE32 bf16, NFE16 bf16, NFE16 int8
+#  3. serving matrix conc-2/conc-4 NFE16, f32 vs int16 wire (the headline
+#     to beat end-to-end: TRT-LLM RTF 0.0394, triton_trtllm/README.md:64)
+#  4. train step timing: b32 save_attn (the 2.051 s / 20.7% MFU row) +
+#     per-op trace breakdown (profile_train) for the MFU attack
+#  5. prefetch overlap + pipeline-PP profitability (pipe=2 vs dp on chip)
+set -u
+OUT=${1:-/tmp/onchip_r4}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/.axon_site:$PWD
+
+run() {  # run <tag> <cmd...>
+  local tag=$1; shift
+  echo "=== $tag: $* ===" | tee -a "$OUT/summary.log"
+  timeout 3000 "$@" > "$OUT/$tag.log" 2>&1
+  local rc=$?
+  tail -3 "$OUT/$tag.log" | tee -a "$OUT/summary.log"
+  echo "--- rc=$rc ---" | tee -a "$OUT/summary.log"
+}
+
+run verify      python /tmp/verify_e2e.py
+run bench_nfe32 python bench.py
+run bench_nfe16 python bench.py --nfe 16
+run bench_int8  python bench.py --nfe 16 --quantize int8
+# serving needs a ref wav; synthesize one
+python - <<'EOF'
+import numpy as np, wave
+sr = 24000; t = np.arange(int(2.5 * sr)) / sr
+wav = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+with wave.open("/tmp/ref_r4.wav", "wb") as f:
+    f.setnchannels(1); f.setsampwidth(2); f.setframerate(sr)
+    f.writeframes((wav * 32767).astype(np.int16).tobytes())
+EOF
+run serve_c2_f32  python -m f5e_tts_tpu.serving.benchmark concurrent \
+    --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 2 --wav_only
+run serve_c2_i16  python -m f5e_tts_tpu.serving.benchmark concurrent \
+    --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 2 --wav_only --wire int16
+run serve_c4_i16  python -m f5e_tts_tpu.serving.benchmark concurrent \
+    --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 4 --wav_only --wire int16
+run train_b32     python scripts/bench_train.py --batch 32 --len 1664 \
+    --remat_policy save_attn
+run trace_b32     python scripts/profile_train.py --batch 32 --len 1664 \
+    --remat_policy save_attn
+echo "ALL DONE -> $OUT/summary.log"

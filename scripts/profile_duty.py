@@ -54,6 +54,8 @@ def device_busy(trace: dict):
     dev_pids = {pid for pid, n in pnames.items()
                 if any(k in n.lower() for k in ("tpu", "device", "/device", "xla"))
                 and "host" not in n.lower()}
+    if not dev_pids:  # CPU backend: compute lanes live under the host process
+        dev_pids = {pid for pid, n in pnames.items() if "cpu" in n.lower()}
     spans = []
     per_op = {}
     for e in trace.get("traceEvents", []):
