@@ -121,6 +121,9 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=4,
                    help="dynamic-batching max batch (0 disables the batcher)")
     p.add_argument("--batch_window_ms", type=float, default=20.0)
+    p.add_argument("--wire_device", choices=["float32", "int16"], default="float32",
+                   help="int16: quantize the wav to pcm16 ON DEVICE in the "
+                        "batcher, halving the device->host fetch bytes")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -139,7 +142,8 @@ def main(argv=None):
         tts.engine.enable_batching(max_batch=args.max_batch,
                                    window_ms=args.batch_window_ms,
                                    nfe_steps=args.nfe_step,
-                                   return_mel=False)
+                                   return_mel=False,
+                                   wire_dtype=args.wire_device)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step,
                                       warm_up=not args.no_warmup)

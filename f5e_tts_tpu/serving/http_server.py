@@ -124,10 +124,12 @@ class TTSHandler(BaseHTTPRequestHandler):
 
 
 def serve(engine, ref_audio, ref_sr, ref_text, host="0.0.0.0", port=8000, nfe=32,
-          warm=True, max_batch: int = 4, batch_window_ms: float = 20.0):
+          warm=True, max_batch: int = 4, batch_window_ms: float = 20.0,
+          wire_device: str = "float32"):
     if max_batch > 0 and engine.batcher is None:
         engine.enable_batching(max_batch=max_batch, window_ms=batch_window_ms,
-                               nfe_steps=nfe, return_mel=False)
+                               nfe_steps=nfe, return_mel=False,
+                               wire_dtype=wire_device)
     if warm:
         import jax.numpy as jnp
 
@@ -163,6 +165,9 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=4,
                    help="dynamic-batching max batch (0 disables the batcher)")
     p.add_argument("--batch_window_ms", type=float, default=20.0)
+    p.add_argument("--wire_device", choices=["float32", "int16"], default="float32",
+                   help="int16: quantize the wav to pcm16 ON DEVICE in the "
+                        "batcher, halving the device->host fetch bytes")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -173,7 +178,7 @@ def main(argv=None):
     wav, sr = read_wav(args.ref_audio)
     serve(tts.engine, wav, sr, args.ref_text, args.host, args.port, args.nfe,
           warm=not args.no_warm, max_batch=args.max_batch,
-          batch_window_ms=args.batch_window_ms)
+          batch_window_ms=args.batch_window_ms, wire_device=args.wire_device)
 
 
 if __name__ == "__main__":

@@ -100,9 +100,9 @@ class TTSStreamingProcessor:
         for chunk, _sr in stream:
             if len(chunk):
                 if self.wire == "pcm16":
-                    pcm = np.clip(np.asarray(chunk, np.float32) * 32767.0,
-                                  -32768, 32767).astype(np.int16)
-                    send(pcm.tobytes())
+                    from f5e_tts_tpu.native import f32_to_pcm16_bytes
+
+                    send(f32_to_pcm16_bytes(np.asarray(chunk, np.float32)))
                 else:
                     send(np.asarray(chunk, np.float32).tobytes())
         send(b"END")
