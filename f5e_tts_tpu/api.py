@@ -142,11 +142,11 @@ class F5TTS:
         params = jax.tree.map(
             lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, params)
         if quantize == "int8":
-            # EXPERIMENTAL single-chip serving path: int8 MXU for the DiT
-            # trunk's big matmuls (2x bf16 peak on v5e); not TP-shardable
-            from f5e_tts_tpu.ops.quant import quantize_dit_params
+            # EXPERIMENTAL single-chip serving path: int8 MXU for the
+            # backbone's big matmuls (2x bf16 peak on v5e); not TP-shardable
+            from f5e_tts_tpu.ops.quant import quantize_backbone_params
 
-            params = quantize_dit_params(params)
+            params = quantize_backbone_params(params, self.model_cfg.backbone)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 

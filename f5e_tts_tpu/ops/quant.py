@@ -91,3 +91,60 @@ def quantize_dit_params(params: dict) -> dict:
     blocks["ff2"] = quantize_linear_params(blocks["ff2"])
     params["blocks"] = blocks
     return params
+
+
+def quantize_mmdit_params(params: dict) -> dict:
+    """Quantize MMDiT's big matmuls: joint-attention q/k/v for BOTH streams,
+    out projections, and the per-stream FF pairs. Kept unfused (joint
+    attention reads to_q/to_k/to_v + *_c separately, ops/attention.py:313-396).
+    AdaLN modulation / embeddings / norms / proj_out stay float."""
+    big = ("to_q", "to_k", "to_v", "to_q_c", "to_k_c", "to_v_c",
+           "to_out", "to_out_c")
+
+    def quant_block(blk: dict) -> dict:
+        blk = dict(blk)
+        attn = dict(blk["attn"])
+        for k in big:
+            if k in attn:
+                attn[k] = quantize_linear_params(attn[k])
+        blk["attn"] = attn
+        for k in ("ff1_x", "ff2_x", "ff1_c", "ff2_c"):
+            if k in blk:
+                blk[k] = quantize_linear_params(blk[k])
+        return blk
+
+    params = dict(params)
+    params["blocks"] = quant_block(params["blocks"])
+    params["final_block"] = quant_block(params["final_block"])
+    return params
+
+
+def quantize_unett_params(params: dict) -> dict:
+    """Quantize UNetT's big matmuls in both scan halves: attention q/k/v/out,
+    the FF pair, and (second half) the skip concat projection."""
+    def quant_half(half: dict) -> dict:
+        half = dict(half)
+        attn = dict(half["attn"])
+        for k in ("to_q", "to_k", "to_v", "to_out"):
+            attn[k] = quantize_linear_params(attn[k])
+        half["attn"] = attn
+        for k in ("ff1", "ff2", "skip_proj"):
+            if k in half:
+                half[k] = quantize_linear_params(half[k])
+        return half
+
+    params = dict(params)
+    params["first_half"] = quant_half(params["first_half"])
+    params["second_half"] = quant_half(params["second_half"])
+    return params
+
+
+def quantize_backbone_params(params: dict, backbone: str) -> dict:
+    """Dispatch on the config's backbone name ("DiT" / "MMDiT" / "UNetT")."""
+    if backbone == "DiT":
+        return quantize_dit_params(params)
+    if backbone == "MMDiT":
+        return quantize_mmdit_params(params)
+    if backbone == "UNetT":
+        return quantize_unett_params(params)
+    raise ValueError(f"int8 quantization: unknown backbone {backbone!r}")

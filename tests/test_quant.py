@@ -93,3 +93,64 @@ def test_api_quantize_flag():
 
     with pytest.raises(ValueError, match="quantize"):
         F5TTS(model="F5TTS_Small", quantize="int4")
+
+
+def test_quantize_mmdit_and_unett_forward_close():
+    """int8 quantization of the non-flagship backbones: forward stays close
+    to fp32 on random weights; dispatch routes by backbone name."""
+    from f5e_tts_tpu.config import MMDiTConfig, UNetTConfig
+    from f5e_tts_tpu.models import backbone as fbb
+    from f5e_tts_tpu.ops.quant import quantize_backbone_params
+
+    rng = np.random.default_rng(3)
+    b, n, nt, vocab = 2, 16, 8, 20
+
+    cases = [
+        ("UNetT", UNetTConfig(dim=64, depth=4, heads=2, dim_head=32, ff_mult=2,
+                              mel_dim=10, text_dim=None, conv_layers=1,
+                              pe_attn_head=1, text_mask_padding=False,
+                              dropout=0.0)),
+        ("MMDiT", MMDiTConfig(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2,
+                              mel_dim=10, dropout=0.0)),
+    ]
+    for name, arch in cases:
+        params, state = fbb.init_backbone(jax.random.PRNGKey(0), arch, vocab)
+        if name == "MMDiT":  # AdaLN-zero: randomize gates + head so the
+            # trunk is live (see test_gpipe for the DiT analogue)
+            for blk in (params["blocks"], params["final_block"]):
+                am = blk["attn_norm_x"]
+                blk["attn_norm_x"] = {**am, "w": 0.1 * jax.random.normal(
+                    jax.random.PRNGKey(7), am["w"].shape)}
+            po = params["proj_out"]
+            params["proj_out"] = {**po, "w": 0.05 * jax.random.normal(
+                jax.random.PRNGKey(8), po["w"].shape)}
+        qparams = quantize_backbone_params(params, name)
+        x = jnp.asarray(rng.standard_normal((b, n, arch.mel_dim)).astype(np.float32))
+        cond = jnp.asarray(rng.standard_normal((b, n, arch.mel_dim)).astype(np.float32))
+        text = jnp.asarray(rng.integers(0, vocab, (b, nt)).astype(np.int32))
+        time = jnp.asarray([0.3, 0.7], np.float32)
+        f = jnp.zeros((b,), bool)
+        kw = dict(x=x, cond=cond, text_ids=text, time=time, drop_audio_cond=f,
+                  drop_text=f, drop_ppg=f, compute_dtype=jnp.float32)
+        pred_fp, _ = fbb.forward_train(params, state, arch, **kw)
+        pred_q, _ = fbb.forward_train(qparams, state, arch, **kw)
+        pred_fp, pred_q = np.asarray(pred_fp), np.asarray(pred_q)
+        assert np.isfinite(pred_q).all(), name
+        cos = (pred_fp * pred_q).sum() / max(
+            np.linalg.norm(pred_fp) * np.linalg.norm(pred_q), 1e-9)
+        assert cos > 0.99, (name, cos)
+        # int8 leaves actually present (not a silent no-op)
+        if name == "UNetT":
+            assert qparams["first_half"]["ff1"]["w_q"].dtype == jnp.int8
+        else:
+            assert qparams["blocks"]["ff1_x"]["w_q"].dtype == jnp.int8
+            assert qparams["blocks"]["attn"]["to_q_c"]["w_q"].dtype == jnp.int8
+
+
+def test_quantize_backbone_dispatch_rejects_unknown():
+    import pytest
+
+    from f5e_tts_tpu.ops.quant import quantize_backbone_params
+
+    with pytest.raises(ValueError, match="backbone"):
+        quantize_backbone_params({}, "Transformer")
