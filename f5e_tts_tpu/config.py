@@ -95,6 +95,8 @@ class DiTConfig:
     # attention output (B*N*dim bf16 per layer, ~41 MB at Base b12 n1664) so
     # the backward recompute skips the attention kernel — measured ~10% step
     # win at Base (the kernel is VPU-softmax-bound, the priciest recompute).
+    # "save_attn_ff" also saves the FF gelu activation (2x the attn_out
+    # bytes) skipping the ff1+gelu recompute — use when the batch still fits.
     remat_policy: str = "block"
     dropout: float = 0.1
     ppg: PPGConfig = field(default_factory=PPGConfig)
@@ -224,6 +226,11 @@ class TrainConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # PRNG implementation for training rngs: "rbg" swaps threefry for the
+    # TPU-native hardware RBG (jax_default_prng_impl). Dropout draws
+    # B x N x dim bits per layer x2 per pass; threefry computes them on the
+    # VPU, rbg is near-free. Bit-different masks, statistically equivalent.
+    prng_impl: str = "default"  # "default" (threefry) | "rbg"
 
 
 @dataclass(frozen=True)

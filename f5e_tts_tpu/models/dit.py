@@ -275,6 +275,9 @@ def _dit_block(blk, x, t_emb, mask, rope_cos, rope_sin, cfg: DiTConfig,
     norm = norm.astype(compute_dtype)
     h = fnn.linear(blk["ff1"], norm, compute_dtype)
     h = fnn.gelu(h, approximate="tanh")
+    from jax.ad_checkpoint import checkpoint_name
+
+    h = checkpoint_name(h, "ff_hidden")  # saved under remat_policy=save_attn_ff
     if training and dropout_rng is not None and cfg.dropout > 0:
         dropout_rng, sub = jax.random.split(dropout_rng)
         h = fnn.dropout(sub, h, cfg.dropout, training)
@@ -330,13 +333,23 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
                           training=training, compute_dtype=compute_dtype)
 
     if cfg.checkpoint_activations:
-        if getattr(cfg, "remat_policy", "block") == "save_attn":
+        policy = getattr(cfg, "remat_policy", "block")
+        if policy == "save_attn":
             # keep each block's named attention output (ops/attention.py
             # tags it "attn_out") so the backward recompute rebuilds q/k/v
             # via cheap matmuls but skips re-running the attention kernel
             block_fn = jax.checkpoint(
                 block_fn,
                 policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+        elif policy == "save_attn_ff":
+            # additionally keep the FF gelu activation ("ff_hidden",
+            # _dit_block) — skips the ff1 matmul + gelu recompute at the cost
+            # of B x N x ff_mult*D bf16 per layer of extra residency (2x the
+            # attn_out save); profitable only when the batch still fits
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "ff_hidden"))
         else:
             block_fn = jax.checkpoint(block_fn)
 

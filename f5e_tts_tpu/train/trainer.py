@@ -96,6 +96,11 @@ class Trainer:
     ppg_extractor: object = None  # frozen PPGExtractor for on-the-fly extraction
 
     def __post_init__(self):
+        if getattr(self.train_cfg, "prng_impl", "default") == "rbg":
+            # TPU hardware RBG for dropout/span rngs — threefry mask bits are
+            # VPU work that shows up in train-step traces; rbg is near-free.
+            # Must run before any PRNGKey this trainer creates.
+            jax.config.update("jax_default_prng_impl", "rbg")
         self.mesh = make_mesh(self.train_cfg.mesh)
         if self.mesh.shape.get("model", 1) > 1:
             # head-shard Pallas attention over the TP axis (ops/attention.py)

@@ -54,8 +54,11 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--text_len", type=int, default=256)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--rbg", action="store_true",
+                   help="TPU hardware RBG for dropout rngs (TrainConfig "
+                        "prng_impl='rbg') instead of threefry")
     p.add_argument("--remat_policy", default="block",
-                   choices=["block", "save_attn"])
+                   choices=["block", "save_attn", "save_attn_ff"])
     p.add_argument("--bnb", action="store_true",
                    help="int8 Adam moments (train.adamw8bit) — halves "
                         "optimizer-state HBM, fits larger frame batches")
@@ -76,6 +79,7 @@ def main():
         keep_last_n_checkpoints=1, save_dir="/tmp/bench_train_ckpts", seed=0,
         compute_dtype="bfloat16", mesh=MeshConfig(data=1, model=1, seq=1),
         bnb_optimizer=args.bnb,
+        prng_impl=('rbg' if args.rbg else 'default'),
     )
     trainer = Trainer(model_cfg, train_cfg, vocab_size=model_cfg.vocab_size,
                       tokenize=lambda ts: [[0] for _ in ts])

@@ -73,8 +73,11 @@ def main():
     p.add_argument("--len", type=int, dest="length", default=1664)
     p.add_argument("--text_len", type=int, default=256)
     p.add_argument("--remat_policy", default="save_attn",
-                   choices=["block", "save_attn"])
+                   choices=["block", "save_attn", "save_attn_ff"])
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--rbg", action="store_true",
+                   help="TPU hardware RBG for dropout rngs (TrainConfig "
+                        "prng_impl='rbg') instead of threefry")
     p.add_argument("--trace_dir", default="/tmp/train_trace")
     p.add_argument("--top", type=int, default=20)
     args = p.parse_args()
@@ -90,7 +93,8 @@ def main():
         batch_size_per_device=args.batch * args.length,
         save_per_updates=10**9, last_per_updates=10**9,
         keep_last_n_checkpoints=1, save_dir="/tmp/bench_train_ckpts", seed=0,
-        compute_dtype="bfloat16", mesh=MeshConfig(data=1, model=1, seq=1))
+        compute_dtype="bfloat16", mesh=MeshConfig(data=1, model=1, seq=1),
+        prng_impl=("rbg" if args.rbg else "default"))
     trainer = Trainer(model_cfg, train_cfg, vocab_size=model_cfg.vocab_size,
                       tokenize=lambda ts: [[0] for _ in ts])
     ts = trainer.init_state(total_updates=1000)

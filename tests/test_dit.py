@@ -178,8 +178,9 @@ def test_remat_policies_same_loss_and_grads(rng):
         return jax.value_and_grad(f)(params)
 
     l1, g1 = loss_for(base)
-    l2, g2 = loss_for(dataclasses.replace(base, remat_policy="save_attn"))
-    assert float(l1) == float(l2)
-    md = max(jax.tree.leaves(
-        jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)))
-    assert md < 1e-5, md
+    for pol in ("save_attn", "save_attn_ff"):
+        l2, g2 = loss_for(dataclasses.replace(base, remat_policy=pol))
+        assert float(l1) == float(l2), pol
+        md = max(jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)))
+        assert md < 1e-5, (pol, md)

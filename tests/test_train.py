@@ -262,3 +262,40 @@ def test_update_counts_optimizer_updates_under_accumulation():
     sched = fstep.make_schedule(tc, total_updates=8)
     lr_now = float(sched(3))
     assert 0.5 < lr_now < 1.0
+
+
+def test_trainer_rbg_prng(tmp_path):
+    """prng_impl='rbg': the trainer swaps threefry for the TPU hardware RBG
+    (dropout mask bits are VPU work under threefry). One step runs, loss is
+    finite, and the config is restored afterwards."""
+    import jax
+
+    before = jax.config.jax_default_prng_impl
+    ds = _toy_dataset()
+    loader = fdata.build_loader(ds, _tokenize, frames_threshold=300,
+                                max_samples=2, len_multiple=32)
+    import dataclasses
+
+    arch = dataclasses.replace(ARCH, dropout=0.1)
+    model_cfg = ModelConfig(name="tiny", backbone="DiT", arch=arch, mel=MEL,
+                            cfm=CFMConfig())
+    train_cfg = TrainConfig(
+        learning_rate=1e-3, num_warmup_updates=2, batch_size_per_device=300,
+        save_per_updates=1000, last_per_updates=1000, keep_last_n_checkpoints=1,
+        save_dir=str(tmp_path / "ckpts"), seed=0, compute_dtype="float32",
+        mesh=MeshConfig(data=1, model=1, seq=1), prng_impl="rbg",
+    )
+    try:
+        trainer = Trainer(model_cfg, train_cfg, vocab_size=len(VOCAB),
+                          tokenize=_tokenize)
+        assert jax.config.jax_default_prng_impl == "rbg"
+        ts = trainer.init_state(total_updates=4)
+        step = trainer.make_step()
+        batch = next(iter(loader))
+        batch = trainer.device_batch(batch) if hasattr(trainer, "device_batch") else batch
+        ts, metrics = step(ts, trainer.prepare_batch(batch)
+                           if hasattr(trainer, "prepare_batch") else batch,
+                           jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics.loss))
+    finally:
+        jax.config.update("jax_default_prng_impl", before)
