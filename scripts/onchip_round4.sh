@@ -48,4 +48,11 @@ run train_b32     python scripts/bench_train.py --batch 32 --len 1664 \
     --remat_policy save_attn
 run trace_b32     python scripts/profile_train.py --batch 32 --len 1664 \
     --remat_policy save_attn
+# MFU levers (round 4): hardware RBG for dropout rng + richer remat save set
+run train_b32_rbg python scripts/bench_train.py --batch 32 --len 1664 \
+    --remat_policy save_attn --rbg
+run train_b32_ff  python scripts/bench_train.py --batch 32 --len 1664 \
+    --remat_policy save_attn_ff --rbg
+run train_b24_ff  python scripts/bench_train.py --batch 24 --len 1664 \
+    --remat_policy save_attn_ff --rbg
 echo "ALL DONE -> $OUT/summary.log"
