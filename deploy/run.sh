@@ -13,6 +13,8 @@ REF_AUDIO=${REF_AUDIO:-examples/basic/basic_ref_en.wav}
 REF_TEXT=${REF_TEXT:-"Some call me nature, others call me mother nature."}
 PORT=${PORT:-8000}
 NFE=${NFE:-16}
+QUANTIZE=${QUANTIZE:-}   # "int8": W8A8 backbone (ops/quant.py)
+WIRE=${WIRE:-float32}    # "int16": on-device pcm16 wav fetch
 
 stage_check() {  # 0: artifacts present?
     for f in "$CKPT" "$VOCAB" "$VOCODER" "$REF_AUDIO"; do
@@ -27,7 +29,8 @@ from f5e_tts_tpu.utils.aot import export_sampler_buckets
 import numpy as np, jax.numpy as jnp
 from f5e_tts_tpu.infer.audio import read_wav
 from f5e_tts_tpu.ops.mel import mel_spectrogram
-tts = F5TTS(ckpt_file="$CKPT", vocab_file="$VOCAB", vocoder_local_path="$VOCODER")
+tts = F5TTS(ckpt_file="$CKPT", vocab_file="$VOCAB", vocoder_local_path="$VOCODER",
+            quantize=("$QUANTIZE" or None))
 wav, sr = read_wav("$REF_AUDIO")
 ref_mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), tts.engine.mel))
 paths = export_sampler_buckets(tts.engine, ref_mel.shape[1], "engines/", nfe=$NFE)
@@ -40,7 +43,7 @@ stage_serve() {  # 3: HTTP server with bucket warm-up
         --ckpt_file "$CKPT" --vocab_file "$VOCAB" \
         --vocoder_local_path "$VOCODER" \
         --ref_audio "$REF_AUDIO" --ref_text "$REF_TEXT" \
-        --port "$PORT" --nfe "$NFE"
+        --port "$PORT" --nfe "$NFE" --wire_device "$WIRE"
 }
 
 stage_bench() {  # 4: offline + client-server benchmarks
