@@ -451,3 +451,46 @@ def test_socket_pcm16_wire_framing():
             full = full.astype(np.float32) / 32767.0
         expect = (0.5 * np.sin(np.linspace(0, 40, 4096))).astype(np.float32)
         np.testing.assert_allclose(full, expect, atol=1.1 / 32767)
+
+
+def test_infer_int16_wire_through_engine(rng):
+    """engine.infer with enable_batching(wire_dtype='int16') + the fused i16
+    device decode: audio within 1 pcm16 LSB of the f32-wire batcher path."""
+    import dataclasses
+
+    from f5e_tts_tpu.infer.pipeline import slice_gen_core
+
+    def mk(wire):
+        def voc_host(m):
+            return np.asarray(m, np.float32).mean(-1).repeat(64, -1)
+
+        voc_host.device = lambda m: jnp.repeat(jnp.mean(
+            m.astype(jnp.float32), axis=-1), 64, axis=-1)
+
+        def fused(out, starts, gens, L):
+            mel = slice_gen_core(out, starts, gens, L)
+            return jnp.repeat(jnp.mean(mel, axis=-1), 64, axis=-1), mel
+
+        def fused_i16(out, starts, gens, L):
+            wav, mel = fused(out, starts, gens, L)
+            wav = jnp.clip(jnp.round(wav.astype(jnp.float32) * 32767.0),
+                           -32768, 32767).astype(jnp.int16)
+            return wav, mel
+
+        voc_host.device_sliced = fused
+        voc_host.device_sliced_i16 = fused_i16
+        eng = dataclasses.replace(_mk_engine(), vocoder_decode=voc_host)
+        eng.enable_batching(max_batch=4, window_ms=10, wire_dtype=wire)
+        return eng
+
+    sr = 8000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    e32 = mk("float32")
+    wav_f, _, _ = e32.infer(ref, sr, "abc def", "gh abc", seed=3)
+    e32.batcher.stop()
+    e16 = mk("int16")
+    wav_q, _, _ = e16.infer(ref, sr, "abc def", "gh abc", seed=3)
+    e16.batcher.stop()
+    assert e16.batcher.batch_sizes, "request never went through the batcher"
+    assert wav_q.dtype == np.float32 and wav_q.shape == wav_f.shape
+    assert np.abs(wav_q - np.clip(wav_f, -1, 1)).max() <= 1.001 / 32767
