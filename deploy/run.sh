@@ -15,6 +15,7 @@ PORT=${PORT:-8000}
 NFE=${NFE:-16}
 QUANTIZE=${QUANTIZE:-}   # "int8": W8A8 backbone (ops/quant.py)
 WIRE=${WIRE:-float32}    # "int16": on-device pcm16 wav fetch
+XFER_CHUNKS=${XFER_CHUNKS:-1}  # >1: chunked wav fetch (early requests resolve first)
 
 stage_check() {  # 0: artifacts present?
     for f in "$CKPT" "$VOCAB" "$VOCODER" "$REF_AUDIO"; do
@@ -43,7 +44,8 @@ stage_serve() {  # 3: HTTP server with bucket warm-up
         --ckpt_file "$CKPT" --vocab_file "$VOCAB" \
         --vocoder_local_path "$VOCODER" \
         --ref_audio "$REF_AUDIO" --ref_text "$REF_TEXT" \
-        --port "$PORT" --nfe "$NFE" --wire_device "$WIRE"
+        --port "$PORT" --nfe "$NFE" --wire_device "$WIRE" \
+        --xfer_chunks "$XFER_CHUNKS"
 }
 
 stage_bench() {  # 4: offline + client-server benchmarks

@@ -275,20 +275,23 @@ class TTSEngine:
 
     def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,
                         nfe_steps: Optional[int] = None, return_mel: bool = True,
-                        wire_dtype: str = "float32"):
+                        wire_dtype: str = "float32", xfer_chunks: int = 1):
         """Attach a DynamicBatcher. infer() chunks at the batcher's exact
         sampler configuration (nfe + default cfg/sway, plain-CFG mode) route
         through it; anything else falls back to the direct jit path.
         return_mel=False skips the generated-mel device fetch (wav-only
         servers); wire_dtype="int16" quantizes the wav to pcm16 on device so
-        the fetch moves half the bytes (futures still resolve float32)."""
+        the fetch moves half the bytes (futures still resolve float32);
+        xfer_chunks>1 (wav-only) fetches the batch's wavs in row chunks so
+        early requests resolve before the whole batch has crossed the link."""
         from f5e_tts_tpu.serving.batcher import DynamicBatcher
 
         self.batcher = DynamicBatcher(self, max_batch=max_batch,
                                       window_ms=window_ms, nfe_steps=nfe_steps,
                                       text_pad_to=self.text_pad_to,
                                       return_mel=return_mel,
-                                      wire_dtype=wire_dtype)
+                                      wire_dtype=wire_dtype,
+                                      xfer_chunks=xfer_chunks)
         return self.batcher
 
     def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int):

@@ -38,7 +38,8 @@ class DynamicBatcher:
     def __init__(self, engine, max_batch: int = 4, window_ms: float = 20.0,
                  nfe_steps: Optional[int] = None, cfg_strength: Optional[float] = None,
                  sway: Optional[float] = None, text_pad_to: int = 64,
-                 return_mel: bool = True, wire_dtype: str = "float32"):
+                 return_mel: bool = True, wire_dtype: str = "float32",
+                 xfer_chunks: int = 1):
         self.engine = engine
         # wire_dtype="int16": quantize the wav to pcm16 ON DEVICE (inside the
         # fused slice+vocode dispatch) so the device->host fetch moves half
@@ -47,6 +48,10 @@ class DynamicBatcher:
         # default stays float32 for bit-parity with the direct path.
         assert wire_dtype in ("float32", "int16"), wire_dtype
         self.wire_dtype = wire_dtype
+        # xfer_chunks > 1 (wav-only config): fetch the batch's wavs in that
+        # many row chunks so early requests resolve while later rows are
+        # still crossing the device link (see _finish_on_device)
+        self.xfer_chunks = xfer_chunks
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         icfg = engine.infer_cfg
@@ -256,16 +261,42 @@ class DynamicBatcher:
         jax.block_until_ready(wav_dev)
         t_voc = time.perf_counter()
 
-        wavs = np.asarray(wav_dev)
-        if wavs.dtype == np.int16:
-            wavs = wavs.astype(np.float32) / 32767.0
-        else:
-            wavs = wavs.astype(np.float32)
+        hop = eng.mel.hop_length
+
+        def to_f32(a):
+            return (a.astype(np.float32) / 32767.0 if a.dtype == np.int16
+                    else a.astype(np.float32))
+
+        if self.xfer_chunks > 1 and not self.return_mel and len(batch) > 1:
+            # chunked fetch (wav-only config): requests in earlier row chunks
+            # resolve while later chunks are still crossing the device link —
+            # with int16 wire an early request waits ~1/(2*chunks) of the
+            # round-3 full-batch f32 fetch. Slices use static python bounds,
+            # so executables stay bounded per (batch, bucket) shape.
+            bounds = np.linspace(0, len(batch), self.xfer_chunks + 1).astype(int)
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                if lo == hi:
+                    continue
+                part = to_f32(np.asarray(wav_dev[int(lo):int(hi)]))
+                for j in range(int(lo), int(hi)):
+                    batch[j].future.set_result(
+                        (part[j - int(lo), : true_gen[j] * hop], None))
+            t_wav = t_mel = time.perf_counter()
+            self.stage_times.append({
+                "fold": len(batch),
+                "sampler_s": t_ready - t_launch,
+                "mel_xfer_s": 0.0,
+                "host_s": time.perf_counter() - t_mel,
+                "vocode_s": t_voc - t_ready,
+                "wav_xfer_s": t_wav - t_voc,
+            })
+            return
+
+        wavs = to_f32(np.asarray(wav_dev))
         t_wav = time.perf_counter()
         mels = np.asarray(mel_dev, np.float32) if self.return_mel else None
         t_mel = time.perf_counter()
 
-        hop = eng.mel.hop_length
         for i, r in enumerate(batch):
             mel_i = mels[i, : true_gen[i]] if mels is not None else None
             r.future.set_result((wavs[i, : true_gen[i] * hop], mel_i))

@@ -302,6 +302,10 @@ def main(argv=None):
     pl.add_argument("--wire", choices=["float32", "int16"], default="float32",
                     help="int16: pcm16-quantize the wav on device, halving "
                          "the device->host fetch bytes")
+    pl.add_argument("--xfer-chunks", type=int, default=1,
+                    help=">1 (with --wav-only): fetch the batch's wavs in "
+                         "row chunks so early requests resolve before the "
+                         "whole batch has crossed the device link")
     ps = sub.add_parser("server")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=9998)
@@ -329,7 +333,8 @@ def main(argv=None):
                                        window_ms=args.batch_window_ms,
                                        nfe_steps=args.nfe,
                                        return_mel=not args.wav_only,
-                                       wire_dtype=args.wire)
+                                       wire_dtype=args.wire,
+                                       xfer_chunks=args.xfer_chunks)
         wav, sr = read_wav(args.ref_audio)
         stats = bench_concurrent(tts.engine, wav, sr, args.ref_text,
                                  DEFAULT_TEXTS[:26], args.nfe,
@@ -345,7 +350,8 @@ def main(argv=None):
                                        window_ms=args.batch_window_ms,
                                        nfe_steps=args.nfe,
                                        return_mel=not args.wav_only,
-                                       wire_dtype=args.wire)
+                                       wire_dtype=args.wire,
+                                       xfer_chunks=args.xfer_chunks)
         wav, sr = read_wav(args.ref_audio)
         texts = (DEFAULT_TEXTS * (args.requests // len(DEFAULT_TEXTS) + 1))[: args.requests]
         stats = bench_openloop(tts.engine, wav, sr, args.ref_text, texts,

@@ -124,6 +124,10 @@ def main(argv=None):
     p.add_argument("--wire_device", choices=["float32", "int16"], default="float32",
                    help="int16: quantize the wav to pcm16 ON DEVICE in the "
                         "batcher, halving the device->host fetch bytes")
+    p.add_argument("--xfer_chunks", type=int, default=1,
+                   help=">1: fetch the batch's wavs in row chunks so early "
+                        "requests resolve before the whole batch has "
+                        "crossed the device link")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -143,7 +147,8 @@ def main(argv=None):
                                    window_ms=args.batch_window_ms,
                                    nfe_steps=args.nfe_step,
                                    return_mel=False,
-                                   wire_dtype=args.wire_device)
+                                   wire_dtype=args.wire_device,
+                                   xfer_chunks=args.xfer_chunks)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step,
                                       warm_up=not args.no_warmup)

@@ -125,11 +125,11 @@ class TTSHandler(BaseHTTPRequestHandler):
 
 def serve(engine, ref_audio, ref_sr, ref_text, host="0.0.0.0", port=8000, nfe=32,
           warm=True, max_batch: int = 4, batch_window_ms: float = 20.0,
-          wire_device: str = "float32"):
+          wire_device: str = "float32", xfer_chunks: int = 1):
     if max_batch > 0 and engine.batcher is None:
         engine.enable_batching(max_batch=max_batch, window_ms=batch_window_ms,
                                nfe_steps=nfe, return_mel=False,
-                               wire_dtype=wire_device)
+                               wire_dtype=wire_device, xfer_chunks=xfer_chunks)
     if warm:
         import jax.numpy as jnp
 
@@ -168,6 +168,10 @@ def main(argv=None):
     p.add_argument("--wire_device", choices=["float32", "int16"], default="float32",
                    help="int16: quantize the wav to pcm16 ON DEVICE in the "
                         "batcher, halving the device->host fetch bytes")
+    p.add_argument("--xfer_chunks", type=int, default=1,
+                   help=">1: fetch the batch's wavs in row chunks so early "
+                        "requests resolve before the whole batch has "
+                        "crossed the device link")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -178,7 +182,8 @@ def main(argv=None):
     wav, sr = read_wav(args.ref_audio)
     serve(tts.engine, wav, sr, args.ref_text, args.host, args.port, args.nfe,
           warm=not args.no_warm, max_batch=args.max_batch,
-          batch_window_ms=args.batch_window_ms, wire_device=args.wire_device)
+          batch_window_ms=args.batch_window_ms, wire_device=args.wire_device,
+          xfer_chunks=args.xfer_chunks)
 
 
 if __name__ == "__main__":

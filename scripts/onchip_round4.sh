@@ -44,6 +44,14 @@ run serve_c2_i16  python -m f5e_tts_tpu.serving.benchmark concurrent \
     --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 2 --wav_only --wire int16
 run serve_c4_i16  python -m f5e_tts_tpu.serving.benchmark concurrent \
     --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 4 --wav_only --wire int16
+# chunked wav fetch: early requests resolve while later rows still cross the
+# tunnel (end-to-end p50 lever on top of the int16 wire halving)
+run serve_c2_i16x2 python -m f5e_tts_tpu.serving.benchmark concurrent \
+    --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 2 --wav_only \
+    --wire int16 --xfer-chunks 2
+run serve_c4_i16x4 python -m f5e_tts_tpu.serving.benchmark concurrent \
+    --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 4 --wav_only \
+    --wire int16 --xfer-chunks 4
 run train_b32     python scripts/bench_train.py --batch 32 --len 1664 \
     --remat_policy save_attn
 run trace_b32     python scripts/profile_train.py --batch 32 --len 1664 \

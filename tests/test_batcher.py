@@ -494,3 +494,52 @@ def test_infer_int16_wire_through_engine(rng):
     assert e16.batcher.batch_sizes, "request never went through the batcher"
     assert wav_q.dtype == np.float32 and wav_q.shape == wav_f.shape
     assert np.abs(wav_q - np.clip(wav_f, -1, 1)).max() <= 1.001 / 32767
+
+
+def test_batcher_chunked_xfer_matches_full(rng):
+    """xfer_chunks>1 (wav-only config): the row-chunked wav fetch resolves
+    identical audio to the single full-batch fetch, covers degenerate
+    (empty-wav) requests, and records a stage row per batch."""
+    import dataclasses
+
+    from f5e_tts_tpu.infer.pipeline import slice_gen_core
+
+    def mk():
+        def voc_host(m):
+            return np.asarray(m, np.float32).mean(-1).repeat(64, -1)
+
+        voc_host.device = lambda m: jnp.repeat(jnp.mean(
+            m.astype(jnp.float32), axis=-1), 64, axis=-1)
+
+        def fused(out, starts, gens, L):
+            mel = slice_gen_core(out, starts, gens, L)
+            return jnp.repeat(jnp.mean(mel, axis=-1), 64, axis=-1), mel
+
+        voc_host.device_sliced = fused
+        return dataclasses.replace(_mk_engine(), vocoder_decode=voc_host)
+
+    texts = ["abc gh", "h gfe", "gg ab", "fe dc"]
+    ids = [list_str_to_idx([list(t)], VOCAB)[0] for t in texts]
+    refs = [rng.standard_normal((40 + 4 * i, 12)).astype(np.float32)
+            for i in range(len(texts))]
+    # durations[1] == ref len -> _process clamps to ref_len+1, i.e. the
+    # minimum 1-frame generation, exercised inside a middle chunk
+    durs = [100, 44, 90, 96]
+
+    outs = {}
+    for chunks in (1, 3):
+        batcher = DynamicBatcher(mk(), max_batch=4, window_ms=500, nfe_steps=2,
+                                 return_mel=False, xfer_chunks=chunks)
+        futs = [batcher.submit(r, i, duration=d, seed=7 + k)
+                for k, (r, i, d) in enumerate(zip(refs, ids, durs))]
+        outs[chunks] = [f.result(timeout=300) for f in futs]
+        assert max(batcher.batch_sizes) == 4, "requests did not co-batch"
+        assert batcher.stage_times, "no stage row recorded"
+        batcher.stop()
+
+    for (wav_1, mel_1), (wav_c, mel_c) in zip(outs[1], outs[3]):
+        assert mel_1 is None and mel_c is None
+        assert wav_c.dtype == np.float32
+        np.testing.assert_array_equal(wav_c, wav_1)
+    # min-duration request -> exactly one generated frame of audio
+    assert outs[3][1][0].shape == (64,)
