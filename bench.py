@@ -80,6 +80,8 @@ def main():
     # opt-in W8A8 trunk quantization (ops/quant.py) — the api.py
     # F5TTS(quantize="int8") serving path, reproducible from the bench CLI
     ap.add_argument("--quantize", choices=["int8"], default=None)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll for the NFE loop (carry-copy lever)")
     args = ap.parse_args()
     _ensure_backend(f"rtf_nfe{args.nfe}_bs{args.batch}")
 
@@ -94,7 +96,7 @@ def main():
 
     model_cfg = preset("F5TTS_v1_Base")
     arch = model_cfg.arch
-    cfm = CFMConfig()
+    cfm = CFMConfig(ode_unroll=args.unroll)
     vocab = 2545
 
     params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, vocab)

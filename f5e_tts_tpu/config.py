@@ -154,6 +154,12 @@ class CFMConfig:
     cond_drop_prob: float = 0.2
     frac_lengths_mask: Tuple[float, float] = (0.7, 1.0)
     ode_method: str = "euler"  # "euler" | "midpoint"
+    # lax.scan unroll for the NFE loop: >1 passes the carry between unrolled
+    # bodies without a loop-tuple round trip (XLA inserts per-iteration
+    # layout copies of the (K*B, N, mel) carry that grow superlinearly with
+    # batch — 329 ms at bs=8/NFE32 in the round-3 duty trace). Bitwise
+    # identical output; pure scheduling lever.
+    ode_unroll: int = 1
 
 
 @dataclass(frozen=True)

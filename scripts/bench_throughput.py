@@ -28,11 +28,13 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--nfe", type=int, default=32)
     p.add_argument("--bucket", type=int, default=1536)
+    p.add_argument("--unroll", type=int, default=1,
+                   help="lax.scan unroll for the NFE loop (carry-copy lever)")
     args = p.parse_args()
 
     model_cfg = preset("F5TTS_v1_Base")
     arch = model_cfg.arch
-    cfm = CFMConfig()
+    cfm = CFMConfig(ode_unroll=args.unroll)
     params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, 2545)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
     voc_cfg = VocosConfig()

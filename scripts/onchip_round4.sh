@@ -52,6 +52,10 @@ run serve_c2_i16x2 python -m f5e_tts_tpu.serving.benchmark concurrent \
 run serve_c4_i16x4 python -m f5e_tts_tpu.serving.benchmark concurrent \
     --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 4 --wav_only \
     --wire int16 --xfer-chunks 4
+# ode_unroll A/B: carry copies grew 27x at bs=8 in the round-3 duty trace;
+# unroll=2 halves the loop-tuple round trips (bitwise-identical output)
+run thru_b8_u1    python scripts/bench_throughput.py --batch 8 --nfe 32
+run thru_b8_u2    python scripts/bench_throughput.py --batch 8 --nfe 32 --unroll 2
 run train_b32     python scripts/bench_train.py --batch 32 --len 1664 \
     --remat_policy save_attn
 run trace_b32     python scripts/profile_train.py --batch 32 --len 1664 \

@@ -182,3 +182,26 @@ def test_cfm_loss_grads(model, rng):
     flat, _ = jax.tree.flatten(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert any(np.abs(np.asarray(x)).max() > 0 for x in flat)
+
+
+def test_ode_unroll_bitwise_identical(model, rng):
+    """CFMConfig.ode_unroll is a pure scheduling lever: unroll=2/3 must be
+    BITWISE identical to unroll=1 for both euler and midpoint (same op
+    sequence, only the loop structure changes)."""
+    import dataclasses
+
+    params, state = model
+    inputs = _mk_inputs(rng)
+    for method in ("euler", "midpoint"):
+        outs = {}
+        for unroll in (1, 2, 3):
+            cfg = dataclasses.replace(CFM, ode_method=method, ode_unroll=unroll)
+            out, traj = fcfm.sample(params, state, TINY, cfg, inputs,
+                                    jax.random.PRNGKey(1), steps=4,
+                                    cfg_strength=2.0, sway_coef=-1.0,
+                                    compute_dtype=jnp.float32)
+            outs[unroll] = (np.asarray(out), np.asarray(traj))
+        for unroll in (2, 3):
+            np.testing.assert_array_equal(outs[unroll][0], outs[1][0],
+                                          err_msg=f"{method} unroll={unroll}")
+            np.testing.assert_array_equal(outs[unroll][1], outs[1][1])
