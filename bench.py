@@ -82,8 +82,14 @@ def main():
     ap.add_argument("--quantize", choices=["int8"], default=None)
     ap.add_argument("--unroll", type=int, default=1,
                     help="lax.scan unroll for the NFE loop (carry-copy lever)")
+    ap.add_argument("--prune", default=None,
+                    help="EPSS-pruned schedule (arXiv 2505.19931): comma-separated "
+                         "keep indices into the --nfe sway grid, e.g. "
+                         "'0,1,2,3,5,9,17,32' — NFE becomes len-1")
     args = ap.parse_args()
-    _ensure_backend(f"rtf_nfe{args.nfe}_bs{args.batch}")
+    keep = [int(i) for i in args.prune.split(",")] if args.prune else None
+    eff_nfe = (len(keep) - 1) if keep else args.nfe
+    _ensure_backend(f"rtf_nfe{eff_nfe}_bs{args.batch}")
 
     import jax
     import jax.numpy as jnp
@@ -116,6 +122,10 @@ def main():
     n = 1536  # padded bucket
     nfe = args.nfe
 
+    ts_grid = (fcfm.pruned_sway_timesteps(keep, base_steps=nfe, sway_coef=-1.0)
+               if keep else None)
+    nfe = eff_nfe
+
     rng = np.random.default_rng(0)
     cond = jnp.asarray(rng.standard_normal((b, ref_frames, arch.mel_dim)).astype(np.float32))
     lens = jnp.full((b,), ref_frames, jnp.int32)
@@ -131,7 +141,8 @@ def main():
         # samples with the attention mask on)
         out, _ = fcfm.sample(params, state, arch, cfm, inputs, key,
                              steps=nfe, cfg_strength=2.0, sway_coef=-1.0,
-                             use_mask=True, compute_dtype=jnp.bfloat16)
+                             use_mask=True, timesteps=ts_grid,
+                             compute_dtype=jnp.bfloat16)
         return vocos_decode(voc_params, voc_cfg, out.astype(jnp.bfloat16),
                             compute_dtype=jnp.bfloat16)
 

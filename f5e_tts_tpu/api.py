@@ -203,6 +203,7 @@ class F5TTS:
         file_wave: Optional[str] = None,
         file_spec: Optional[str] = None,
         seed: Optional[int] = None,
+        timesteps: Optional[tuple] = None,  # EPSS/custom ODE grid
     ):
         if seed is None:
             seed = random.randint(0, 2**31 - 1)
@@ -221,7 +222,8 @@ class F5TTS:
         out, sr, spec = self.engine.infer(
             wav, sr, ref_text, gen_text, seed=seed, speed=speed,
             fix_duration=fix_duration, nfe_steps=nfe_step, cfg_strength=cfg_strength,
-            sway=sway_sampling_coef, cross_fade_duration=cross_fade_duration)
+            sway=sway_sampling_coef, cross_fade_duration=cross_fade_duration,
+            timesteps=timesteps)
         if file_wave is not None:
             self.export_wav(out, file_wave, remove_silence)
         if file_spec is not None:

@@ -275,7 +275,8 @@ class TTSEngine:
 
     def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,
                         nfe_steps: Optional[int] = None, return_mel: bool = True,
-                        wire_dtype: str = "float32", xfer_chunks: int = 1):
+                        wire_dtype: str = "float32", xfer_chunks: int = 1,
+                        timesteps: Optional[tuple] = None):
         """Attach a DynamicBatcher. infer() chunks at the batcher's exact
         sampler configuration (nfe + default cfg/sway, plain-CFG mode) route
         through it; anything else falls back to the direct jit path.
@@ -291,7 +292,8 @@ class TTSEngine:
                                       text_pad_to=self.text_pad_to,
                                       return_mel=return_mel,
                                       wire_dtype=wire_dtype,
-                                      xfer_chunks=xfer_chunks)
+                                      xfer_chunks=xfer_chunks,
+                                      timesteps=timesteps)
         return self.batcher
 
     def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int):
@@ -344,6 +346,7 @@ class TTSEngine:
         alpha_txt: float = 1.0,
         alpha_ppg: float = 1.0,
         ppg: Optional[np.ndarray] = None,
+        timesteps: Optional[tuple] = None,  # EPSS/custom grid, overrides nfe+sway
         device_out: bool = False,
     ):
         """One jitted sampler call on a static bucket -> generated mel (frames, d).
@@ -373,7 +376,7 @@ class TTSEngine:
 
         # AOT engine fast path (plain-CFG only; exported engines bake the
         # default cfg/sway — overridden values fall back to the jit path)
-        if (mode not in ("tts", "vc") and ppg is None
+        if (mode not in ("tts", "vc") and ppg is None and timesteps is None
                 and cfg == icfg.cfg_strength and sway == icfg.sway_sampling_coef):
             aot = self._aot_sampler(nfe, ref_frames, bucket, nt)
             if aot is not None:
@@ -398,17 +401,18 @@ class TTSEngine:
         if mode == "tts":
             out, _ = fcfm.sample_tts(self.params, self.state, self.arch, self.cfm, inputs,
                                      key, steps=nfe, alpha_spk=alpha_spk, alpha_txt=alpha_txt,
-                                     sway_coef=sway, use_mask=True,
+                                     sway_coef=sway, use_mask=True, timesteps=timesteps,
                                      compute_dtype=self.compute_dtype)
         elif mode == "vc":
             out, _ = fcfm.sample_vc(self.params, self.state, self.arch, self.cfm, inputs,
                                     key, steps=nfe, alpha_spk=alpha_spk, alpha_ppg=alpha_ppg,
-                                    sway_coef=sway, use_mask=True,
+                                    sway_coef=sway, use_mask=True, timesteps=timesteps,
                                     compute_dtype=self.compute_dtype)
         else:
             out, _ = fcfm.sample(self.params, self.state, self.arch, self.cfm, inputs,
                                  key, steps=nfe, cfg_strength=cfg, sway_coef=sway,
-                                 use_mask=True, compute_dtype=self.compute_dtype)
+                                 use_mask=True, timesteps=timesteps,
+                                 compute_dtype=self.compute_dtype)
         if device_out:
             return out, ref_frames, duration
         out = np.asarray(out[0], np.float32)
@@ -428,6 +432,7 @@ class TTSEngine:
         cfg_strength: Optional[float] = None,
         sway: Optional[float] = None,
         cross_fade_duration: Optional[float] = None,
+        timesteps: Optional[tuple] = None,  # EPSS/custom grid (pruned_sway_timesteps)
         streaming: bool = False,
         chunk_size: int = 2048,
     ):
@@ -471,11 +476,16 @@ class TTSEngine:
         # chunks are batchable when the effective sampler config equals the
         # batcher's compiled configuration (plain CFG at defaults)
         eff_nfe = nfe_steps if nfe_steps is not None else icfg.nfe_steps
+        # the batcher bakes ONE sampler configuration; a request matches when
+        # its explicit grid equals the batcher's (both usually None) — a grid
+        # subsumes nfe+sway, which only need checking in the None/None case
+        req_grid = tuple(timesteps) if timesteps is not None else None
         use_batcher = (
             self.batcher is not None
-            and eff_nfe == self.batcher.nfe
+            and req_grid == self.batcher.timesteps
+            and (req_grid is not None or eff_nfe == self.batcher.nfe)
             and (cfg_strength is None or cfg_strength == self.batcher.cfg_strength)
-            and (sway is None or sway == self.batcher.sway)
+            and (req_grid is not None or sway is None or sway == self.batcher.sway)
         )
 
         def gen():
@@ -498,7 +508,7 @@ class TTSEngine:
                         out_dev, rf, dur = self.synthesize_chunk(
                             ref_mel, ref_text + chunk, duration, seed=seed + i,
                             nfe_steps=nfe_steps, cfg_strength=cfg_strength,
-                            sway=sway, device_out=True)
+                            sway=sway, timesteps=timesteps, device_out=True)
                         gl = dur - rf
                         pad = self.vocoder_pad_to or 1
                         L = max(-(-gl // pad) * pad, pad)
@@ -510,7 +520,8 @@ class TTSEngine:
                     else:
                         mel_gen = self.synthesize_chunk(
                             ref_mel, ref_text + chunk, duration, seed=seed + i,
-                            nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway)
+                            nfe_steps=nfe_steps, cfg_strength=cfg_strength, sway=sway,
+                            timesteps=timesteps)
                         wav = self.decode_mel(mel_gen)
                 if 0 < orig_rms < icfg.target_rms:
                     wav = wav * orig_rms / icfg.target_rms

@@ -43,6 +43,25 @@ def sway_timesteps(steps: int, sway_coef: Optional[float], t_start: float = 0.0)
     return t.astype(np.float32)
 
 
+def pruned_sway_timesteps(keep, base_steps: int = 32, sway_coef: Optional[float] = -1.0,
+                          t_start: float = 0.0):
+    """EPSS-style pruned step schedule (arXiv 2505.19931, "Accelerating
+    Flow-Matching-Based TTS via Empirically Pruned Step Sampling"): subsample
+    the `base_steps` sway grid at the `keep` indices instead of running every
+    step. The paper shows ~7 pruned steps can match the 32-step F5-TTS
+    quality because the flow is nearly linear over most of the (sway
+    front-loaded) grid; the exact keep-set is a per-checkpoint tunable.
+
+    keep must start at 0, end at base_steps, and be strictly increasing.
+    Returns a hashable float tuple for the samplers' static `timesteps` arg.
+    """
+    keep = tuple(int(i) for i in keep)
+    if keep[0] != 0 or keep[-1] != base_steps or list(keep) != sorted(set(keep)):
+        raise ValueError(f"keep must be strictly increasing 0..{base_steps}, got {keep}")
+    grid = sway_timesteps(base_steps, sway_coef, t_start)
+    return tuple(float(grid[i]) for i in keep)
+
+
 def noise_like(key: jax.Array, batch: int, length: int, channels: int,
                durations: jnp.ndarray,
                seeds: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -204,7 +223,7 @@ def _folded_cfg_flow(params, state, arch: DiTConfig, inputs: SamplerInputs,
 
 
 @partial(jax.jit, static_argnames=("arch", "cfm", "steps", "sway_coef", "cfg_strength",
-                                   "use_mask", "compute_dtype", "t_start"))
+                                   "use_mask", "compute_dtype", "t_start", "timesteps"))
 def sample(
     params,
     state,
@@ -220,6 +239,7 @@ def sample(
     t_start: float = 0.0,
     test_cond: Optional[jnp.ndarray] = None,  # duplicate_test diagnostic
     seeds: Optional[jnp.ndarray] = None,  # (B,) per-request noise seeds
+    timesteps: Optional[tuple] = None,  # explicit grid (pruned_sway_timesteps)
     compute_dtype=jnp.bfloat16,
 ):
     """Standard 2-pass CFG sampler: pred + (pred - null_pred) * cfg.
@@ -253,7 +273,9 @@ def sample(
         # duplicate_test diagnostic (reference cfm.py:410-412, 461-465): start
         # the ODE at t_start from a mix of noise and the shifted ground truth
         y0 = (1.0 - t_start) * y0 + t_start * test_cond
-    ts = jnp.asarray(sway_timesteps(steps, sway_coef, t_start))
+    # explicit grid (EPSS-pruned or custom) overrides steps/sway; NFE = len-1
+    ts = (jnp.asarray(np.asarray(timesteps, np.float32)) if timesteps is not None
+          else jnp.asarray(sway_timesteps(steps, sway_coef, t_start)))
     y_final, traj = _ode_scan(step_fn, y0, ts, cfm.ode_method, cfm.ode_unroll)
 
     out = jnp.where(inputs.cond_mask[:, :, None], inputs.cond, y_final)
@@ -261,7 +283,7 @@ def sample(
 
 
 @partial(jax.jit, static_argnames=("arch", "cfm", "steps", "sway_coef", "use_mask",
-                                   "compute_dtype"))
+                                   "compute_dtype", "timesteps"))
 def sample_tts(
     params,
     state,
@@ -276,6 +298,7 @@ def sample_tts(
     sway_coef: Optional[float] = None,
     use_mask: bool = True,
     seeds: Optional[jnp.ndarray] = None,
+    timesteps: Optional[tuple] = None,  # explicit grid (pruned_sway_timesteps)
     compute_dtype=jnp.bfloat16,
 ):
     """MegaTTS3-style dual-alpha TTS CFG (3 branches folded into one 3B batch).
@@ -295,14 +318,15 @@ def sample_tts(
 
     step_fn = _folded_cfg_flow(params, state, arch, inputs, branches, weights, mask, compute_dtype)
     y0 = noise_like(key, b, n, mel_dim, inputs.duration, seeds=seeds)
-    ts = jnp.asarray(sway_timesteps(steps, sway_coef))
+    ts = (jnp.asarray(np.asarray(timesteps, np.float32)) if timesteps is not None
+          else jnp.asarray(sway_timesteps(steps, sway_coef)))
     y_final, traj = _ode_scan(step_fn, y0, ts, cfm.ode_method, cfm.ode_unroll)
     out = jnp.where(inputs.cond_mask[:, :, None], inputs.cond, y_final)
     return out, traj
 
 
 @partial(jax.jit, static_argnames=("arch", "cfm", "steps", "sway_coef", "use_mask",
-                                   "compute_dtype"))
+                                   "compute_dtype", "timesteps"))
 def sample_vc(
     params,
     state,
@@ -317,6 +341,7 @@ def sample_vc(
     sway_coef: Optional[float] = None,
     use_mask: bool = True,
     seeds: Optional[jnp.ndarray] = None,
+    timesteps: Optional[tuple] = None,  # explicit grid (pruned_sway_timesteps)
     compute_dtype=jnp.bfloat16,
 ):
     """Voice-conversion CFG over PPG (text fully dropped in all branches).
@@ -336,7 +361,8 @@ def sample_vc(
 
     step_fn = _folded_cfg_flow(params, state, arch, inputs, branches, weights, mask, compute_dtype)
     y0 = noise_like(key, b, n, mel_dim, inputs.duration, seeds=seeds)
-    ts = jnp.asarray(sway_timesteps(steps, sway_coef))
+    ts = (jnp.asarray(np.asarray(timesteps, np.float32)) if timesteps is not None
+          else jnp.asarray(sway_timesteps(steps, sway_coef)))
     y_final, traj = _ode_scan(step_fn, y0, ts, cfm.ode_method, cfm.ode_unroll)
     out = jnp.where(inputs.cond_mask[:, :, None], inputs.cond, y_final)
     return out, traj

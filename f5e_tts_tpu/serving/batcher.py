@@ -39,7 +39,7 @@ class DynamicBatcher:
                  nfe_steps: Optional[int] = None, cfg_strength: Optional[float] = None,
                  sway: Optional[float] = None, text_pad_to: int = 64,
                  return_mel: bool = True, wire_dtype: str = "float32",
-                 xfer_chunks: int = 1):
+                 xfer_chunks: int = 1, timesteps: Optional[tuple] = None):
         self.engine = engine
         # wire_dtype="int16": quantize the wav to pcm16 ON DEVICE (inside the
         # fused slice+vocode dispatch) so the device->host fetch moves half
@@ -58,6 +58,12 @@ class DynamicBatcher:
         self.nfe = nfe_steps if nfe_steps is not None else icfg.nfe_steps
         self.cfg_strength = cfg_strength if cfg_strength is not None else icfg.cfg_strength
         self.sway = sway if sway is not None else icfg.sway_sampling_coef
+        # optional explicit ODE grid (EPSS pruned schedule); baked into the
+        # compiled sampler like nfe/cfg/sway — requests with a different grid
+        # fall back to the direct path (pipeline.infer's use_batcher check)
+        self.timesteps = tuple(timesteps) if timesteps is not None else None
+        if self.timesteps is not None:
+            self.nfe = len(self.timesteps) - 1
         self.text_pad_to = text_pad_to
         # servers that only ship wav can skip the generated-mel fetch
         # entirely (return_mel=False -> futures resolve (wav, None))
@@ -180,6 +186,7 @@ class DynamicBatcher:
                              jax.random.PRNGKey(0), steps=self.nfe,
                              cfg_strength=self.cfg_strength, sway_coef=self.sway,
                              use_mask=True, seeds=jnp.asarray(seeds),
+                             timesteps=self.timesteps,
                              compute_dtype=eng.compute_dtype)
         # hand the (still in-flight) device array to the finisher; collect the
         # next batch while the TPU computes and the vocoder/host work drains

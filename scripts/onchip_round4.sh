@@ -29,6 +29,9 @@ run verify      python /tmp/verify_e2e.py
 run bench_nfe32 python bench.py
 run bench_nfe16 python bench.py --nfe 16
 run bench_int8  python bench.py --nfe 16 --quantize int8
+# EPSS-pruned schedule (arXiv 2505.19931): 8 kept steps of the NFE-32 sway
+# grid — RTF point for the pruned-step serving mode (quality needs real ckpt)
+run bench_epss8 python bench.py --nfe 32 --prune 0,1,2,3,4,6,10,18,32
 # serving needs a ref wav; synthesize one
 python - <<'EOF'
 import numpy as np, wave

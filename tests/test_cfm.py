@@ -205,3 +205,37 @@ def test_ode_unroll_bitwise_identical(model, rng):
             np.testing.assert_array_equal(outs[unroll][0], outs[1][0],
                                           err_msg=f"{method} unroll={unroll}")
             np.testing.assert_array_equal(outs[unroll][1], outs[1][1])
+
+
+def test_pruned_timesteps_epss(model, rng):
+    """EPSS custom-grid support (arXiv 2505.19931): (a) the full keep-set
+    reproduces the sway path bitwise, (b) a pruned grid runs the ODE in
+    len(keep)-1 steps with the prompt region preserved, (c) bad keep-sets
+    are rejected."""
+    params, state = model
+    inputs = _mk_inputs(rng)
+
+    full = fcfm.pruned_sway_timesteps(range(5), base_steps=4, sway_coef=-1.0)
+    np.testing.assert_array_equal(np.asarray(full, np.float32),
+                                  fcfm.sway_timesteps(4, -1.0))
+    out_sway, _ = fcfm.sample(params, state, TINY, CFM, inputs, jax.random.PRNGKey(1),
+                              steps=4, cfg_strength=2.0, sway_coef=-1.0,
+                              compute_dtype=jnp.float32)
+    out_full, _ = fcfm.sample(params, state, TINY, CFM, inputs, jax.random.PRNGKey(1),
+                              steps=4, cfg_strength=2.0, sway_coef=-1.0,
+                              timesteps=full, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_sway))
+
+    pruned = fcfm.pruned_sway_timesteps((0, 2, 4), base_steps=4, sway_coef=-1.0)
+    out_p, traj_p = fcfm.sample(params, state, TINY, CFM, inputs, jax.random.PRNGKey(1),
+                                steps=4, cfg_strength=2.0, sway_coef=-1.0,
+                                timesteps=pruned, compute_dtype=jnp.float32)
+    assert traj_p.shape[0] == 3  # 2 ODE steps + y0
+    out_np, cond_np = np.asarray(out_p), np.asarray(inputs.cond)
+    mask_np = np.asarray(inputs.cond_mask)
+    assert np.isfinite(out_np).all()
+    np.testing.assert_allclose(out_np[mask_np], cond_np[mask_np], atol=1e-6)
+
+    for bad in ((1, 2, 4), (0, 2), (0, 2, 2, 4), (0, 4, 2)):
+        with pytest.raises(ValueError):
+            fcfm.pruned_sway_timesteps(bad, base_steps=4)

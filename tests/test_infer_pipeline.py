@@ -183,3 +183,99 @@ def test_engine_streaming(rng):
     chunks = list(stream)
     assert len(chunks) >= 1
     assert all(len(c) <= 100 for c, _ in chunks)
+
+
+def test_engine_infer_pruned_timesteps(rng):
+    """infer(timesteps=...) runs the pruned EPSS grid through the full
+    pipeline: full keep-set matches the default sway path exactly; a pruned
+    grid yields a finite wave of the same length; a batcher (if attached)
+    is bypassed for custom grids."""
+    from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+
+    mel_cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
+                        target_sample_rate=8000)
+    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,
+                     text_dim=16, conv_layers=0, dropout=0.0)
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.")}
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, len(vocab))
+    params["proj_out"]["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(9),
+                                                       params["proj_out"]["w"].shape)
+    hop = mel_cfg.hop_length
+
+    def fake_vocoder(mel):
+        # length-preserving, mel-dependent so outputs distinguish schedules
+        return np.asarray(mel, np.float32).mean(-1).repeat(hop, -1)
+
+    engine = fpipe.TTSEngine(
+        params=params, state=state, arch=arch, vocab=vocab, mel=mel_cfg,
+        cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=4, max_duration=512),
+        tokenizer="char", vocoder_decode=fake_vocoder, compute_dtype=jnp.float32,
+        buckets=(128, 256, 512))
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(4000) / 8000)).astype(np.float32)
+
+    w_def, _, _ = engine.infer(ref, 8000, "hello there.", "this is a test.", seed=1)
+    full = pruned_sway_timesteps(range(5), base_steps=4, sway_coef=-1.0)
+    w_full, _, _ = engine.infer(ref, 8000, "hello there.", "this is a test.", seed=1,
+                                timesteps=full)
+    np.testing.assert_array_equal(w_full, w_def)
+
+    pruned = pruned_sway_timesteps((0, 1, 4), base_steps=4, sway_coef=-1.0)
+    engine.enable_batching(max_batch=2, window_ms=10, nfe_steps=4)
+    try:
+        w_p, sr, _ = engine.infer(ref, 8000, "hello there.", "this is a test.", seed=1,
+                                  timesteps=pruned)
+        assert not engine.batcher.batch_sizes  # custom grid bypasses the batcher
+    finally:
+        engine.batcher.stop()
+    assert sr == 8000 and np.isfinite(w_p).all()
+    assert w_p.shape == w_def.shape  # schedule changes values, not duration
+    assert not np.allclose(w_p, w_def)  # and it genuinely ran fewer/different steps
+
+
+def test_engine_batcher_pruned_grid(rng):
+    """enable_batching(timesteps=...) bakes a pruned EPSS grid into the
+    batcher; matching-grid requests co-batch and reproduce the direct
+    pruned path exactly, default-grid requests fall back to direct."""
+    from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+
+    mel_cfg = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
+                        target_sample_rate=8000)
+    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,
+                     text_dim=16, conv_layers=0, dropout=0.0)
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.")}
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, len(vocab))
+    params["proj_out"]["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(9),
+                                                       params["proj_out"]["w"].shape)
+    hop = mel_cfg.hop_length
+
+    def fake_vocoder(mel):
+        return np.asarray(mel, np.float32).mean(-1).repeat(hop, -1)
+
+    def mk():
+        return fpipe.TTSEngine(
+            params=params, state=state, arch=arch, vocab=vocab, mel=mel_cfg,
+            cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=4, max_duration=512),
+            tokenizer="char", vocoder_decode=fake_vocoder, compute_dtype=jnp.float32,
+            buckets=(128, 256, 512))
+
+    grid = pruned_sway_timesteps((0, 1, 4), base_steps=4, sway_coef=-1.0)
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(4000) / 8000)).astype(np.float32)
+
+    direct = mk()
+    w_direct, _, _ = direct.infer(ref, 8000, "hello there.", "this is a test.",
+                                  seed=1, timesteps=grid)
+
+    eng = mk()
+    eng.enable_batching(max_batch=2, window_ms=10, timesteps=grid)
+    assert eng.batcher.nfe == 2  # derived from the grid
+    try:
+        w_b, _, _ = eng.infer(ref, 8000, "hello there.", "this is a test.",
+                              seed=1, timesteps=grid)
+        assert eng.batcher.batch_sizes, "matching grid should use the batcher"
+        np.testing.assert_allclose(w_b, w_direct, rtol=1e-5, atol=1e-6)
+        n_before = len(eng.batcher.batch_sizes)
+        w_d, _, _ = eng.infer(ref, 8000, "hello there.", "this is a test.", seed=1)
+        assert len(eng.batcher.batch_sizes) == n_before  # default grid -> direct
+        assert not np.allclose(w_d, w_direct)
+    finally:
+        eng.batcher.stop()
