@@ -56,7 +56,7 @@ def bench_offline(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
 
 def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                      texts: List[str], nfe: int, concurrency: int = 4,
-                     warmup: bool = True) -> dict:
+                     warmup: bool = True, timesteps=None) -> dict:
     """Concurrent offline benchmark: N client threads against one engine.
 
     With a DynamicBatcher attached (engine.enable_batching) concurrent
@@ -77,7 +77,8 @@ def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                     if not warm_q:
                         return
                     t = warm_q.pop()
-                engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe)
+                engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe,
+                             timesteps=timesteps)
 
         ths = [threading.Thread(target=warm_worker) for _ in range(concurrency)]
         for t in ths:
@@ -100,7 +101,7 @@ def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                 text = queue.pop()
             t1 = time.perf_counter()
             wav, sr, _ = engine.infer(ref_wav, ref_sr, ref_text, text,
-                                      nfe_steps=nfe)
+                                      nfe_steps=nfe, timesteps=timesteps)
             with lock:
                 results.append((time.perf_counter() - t1, len(wav) / sr))
 
@@ -144,7 +145,7 @@ def stage_summary(engine, wall: float, total_audio: float) -> dict:
 
 def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                    texts: List[str], nfe: int, qps: float,
-                   seed: int = 0, warmup: bool = True) -> dict:
+                   seed: int = 0, warmup: bool = True, timesteps=None) -> dict:
     """Open-loop benchmark: Poisson arrivals at a target QPS.
 
     The reference's benchmark (runtime/triton_trtllm/benchmark.py) and our
@@ -158,7 +159,8 @@ def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
     if warmup:
         # fold-1 per distinct text (covers every bucket the workload hits)
         for t in set(texts):
-            engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe)
+            engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe,
+                         timesteps=timesteps)
         # then EVERY pow2 fold shape the batcher can emit (open-loop arrivals
         # produce folds 1..max_batch; an unwarmed fold = an XLA compile
         # inside the measurement)
@@ -167,7 +169,8 @@ def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
             ths = [threading.Thread(target=engine.infer,
                                     args=(ref_wav, ref_sr, ref_text,
                                           texts[i % len(texts)]),
-                                    kwargs={"nfe_steps": nfe})
+                                    kwargs={"nfe_steps": nfe,
+                                            "timesteps": timesteps})
                    for i in range(k)]
             for t in ths:
                 t.start()
@@ -284,6 +287,14 @@ def main(argv=None):
     pc.add_argument("--wire", choices=["float32", "int16"], default="float32",
                     help="int16: pcm16-quantize the wav on device, halving "
                          "the device->host fetch bytes")
+    pc.add_argument("--prune", default=None,
+                    help="EPSS keep indices into the --nfe sway grid "
+                         "(comma-separated, e.g. '0,1,2,3,5,9,17,32'); bakes "
+                         "the pruned grid into the batcher")
+    pc.add_argument("--xfer-chunks", type=int, default=1,
+                    help=">1 (with --wav-only): fetch the batch's wavs in "
+                         "row chunks so early requests resolve before the "
+                         "whole batch has crossed the device link")
     pl = sub.add_parser("openloop")
     pl.add_argument("--model", default="F5TTS_v1_Base")
     pl.add_argument("--ckpt", default="")
@@ -302,6 +313,10 @@ def main(argv=None):
     pl.add_argument("--wire", choices=["float32", "int16"], default="float32",
                     help="int16: pcm16-quantize the wav on device, halving "
                          "the device->host fetch bytes")
+    pl.add_argument("--prune", default=None,
+                    help="EPSS keep indices into the --nfe sway grid "
+                         "(comma-separated, e.g. '0,1,2,3,5,9,17,32'); bakes "
+                         "the pruned grid into the batcher")
     pl.add_argument("--xfer-chunks", type=int, default=1,
                     help=">1 (with --wav-only): fetch the batch's wavs in "
                          "row chunks so early requests resolve before the "
@@ -328,34 +343,46 @@ def main(argv=None):
 
         tts = F5TTS(model=args.model, ckpt_file=args.ckpt, vocab_file=args.vocab,
                     vocoder_local_path=args.vocoder_local_path)
+        grid = None
+        if args.prune:
+            from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+            grid = pruned_sway_timesteps([int(i) for i in args.prune.split(",")],
+                                         base_steps=args.nfe)
         if args.max_batch > 0:
             tts.engine.enable_batching(max_batch=args.max_batch,
                                        window_ms=args.batch_window_ms,
                                        nfe_steps=args.nfe,
                                        return_mel=not args.wav_only,
                                        wire_dtype=args.wire,
-                                       xfer_chunks=args.xfer_chunks)
+                                       xfer_chunks=args.xfer_chunks,
+                                       timesteps=grid)
         wav, sr = read_wav(args.ref_audio)
         stats = bench_concurrent(tts.engine, wav, sr, args.ref_text,
                                  DEFAULT_TEXTS[:26], args.nfe,
-                                 concurrency=args.concurrency)
+                                 concurrency=args.concurrency, timesteps=grid)
     elif args.mode == "openloop":
         from f5e_tts_tpu.api import F5TTS
         from f5e_tts_tpu.infer.audio import read_wav
 
         tts = F5TTS(model=args.model, ckpt_file=args.ckpt, vocab_file=args.vocab,
                     vocoder_local_path=args.vocoder_local_path)
+        grid = None
+        if args.prune:
+            from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+            grid = pruned_sway_timesteps([int(i) for i in args.prune.split(",")],
+                                         base_steps=args.nfe)
         if args.max_batch > 0:
             tts.engine.enable_batching(max_batch=args.max_batch,
                                        window_ms=args.batch_window_ms,
                                        nfe_steps=args.nfe,
                                        return_mel=not args.wav_only,
                                        wire_dtype=args.wire,
-                                       xfer_chunks=args.xfer_chunks)
+                                       xfer_chunks=args.xfer_chunks,
+                                       timesteps=grid)
         wav, sr = read_wav(args.ref_audio)
         texts = (DEFAULT_TEXTS * (args.requests // len(DEFAULT_TEXTS) + 1))[: args.requests]
         stats = bench_openloop(tts.engine, wav, sr, args.ref_text, texts,
-                               args.nfe, qps=args.qps)
+                               args.nfe, qps=args.qps, timesteps=grid)
     else:
         stats = bench_server(args.host, args.port, DEFAULT_TEXTS[: args.requests],
                              args.concurrency)
