@@ -86,6 +86,10 @@ def main():
                     help="EPSS-pruned schedule (arXiv 2505.19931): comma-separated "
                          "keep indices into the --nfe sway grid, e.g. "
                          "'0,1,2,3,5,9,17,32' — NFE becomes len-1")
+    ap.add_argument("--cfg", type=float, default=2.0,
+                    help="cfg_strength; 0 = the CFG-distilled serving mode "
+                         "(train/distill.py): ONE backbone pass per ODE step "
+                         "instead of the folded cond+uncond pair")
     args = ap.parse_args()
     keep = [int(i) for i in args.prune.split(",")] if args.prune else None
     eff_nfe = (len(keep) - 1) if keep else args.nfe
@@ -140,7 +144,7 @@ def main():
         # use_mask=True: the exact serving configuration (pipeline.py always
         # samples with the attention mask on)
         out, _ = fcfm.sample(params, state, arch, cfm, inputs, key,
-                             steps=nfe, cfg_strength=2.0, sway_coef=-1.0,
+                             steps=nfe, cfg_strength=args.cfg, sway_coef=-1.0,
                              use_mask=True, timesteps=ts_grid,
                              compute_dtype=jnp.bfloat16)
         return vocos_decode(voc_params, voc_cfg, out.astype(jnp.bfloat16),

@@ -94,6 +94,12 @@ class Trainer:
     log_fn: Optional[Callable[[dict, int], None]] = None
     sample_fn: Optional[Callable[[dict, int], None]] = None  # periodic audio logging hook
     ppg_extractor: object = None  # frozen PPGExtractor for on-the-fly extraction
+    # CFG distillation (train/distill.py, arXiv 2504.20334): when teacher
+    # params are set the step trains the student against the teacher's
+    # guidance-combined flow instead of the CFM target; everything else
+    # (mesh, EMA, rotation, preemption, resume) is unchanged.
+    teacher_params: object = None
+    distill_cfg_strength: float = 2.0
 
     def __post_init__(self):
         if getattr(self.train_cfg, "prng_impl", "default") == "rbg":
@@ -162,13 +168,42 @@ class Trainer:
         # EMA/opt leaves are otherwise uncommitted) so the first step call's
         # jit signature matches the steady state — an uncommitted-vs-committed
         # mismatch forces a second full compile of the step.
-        return jax.tree.map(
+        ts = jax.tree.map(
             lambda x: jax.device_put(x, self._canonical_sharding(x)), ts)
+        # cache for train(): callers arm pretrained weights via
+        # init_state(pretrained_path=...) before train(), which must consume
+        # THIS state rather than re-initializing from scratch
+        self._init_ts = ts
+        return ts
 
     def _canonical_sharding(self, x) -> NamedSharding:
         sh = getattr(x, "sharding", None)
         spec = sh.spec if isinstance(sh, NamedSharding) else P()
         return NamedSharding(self.mesh, spec)
+
+    def set_teacher(self, teacher, cfg_strength: Optional[float] = None):
+        """Arm distillation: teacher = torch-ckpt path or a params pytree.
+
+        The teacher is placed with the SAME mesh spec as the student so the
+        folded 2B teacher pass shards identically under dp/fsdp/pipe.
+        """
+        if isinstance(teacher, str):
+            from f5e_tts_tpu.utils.torch_ckpt import backbone_from_torch, load_torch_state_dict
+
+            sd = load_torch_state_dict(teacher, use_ema=True)
+            teacher, _ = backbone_from_torch(sd, self.arch)
+        teacher = jax.tree.map(jnp.asarray, teacher)
+        use_fsdp = self.mesh.shape.get("fsdp", 1) > 1
+        use_pipe = self.mesh.shape.get("pipe", 1) > 1
+        if fbb.backbone_kind(self.arch) == "dit":
+            teacher = tree_map_with_spec(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                teacher, dit_param_spec(self.arch, fsdp=use_fsdp, pipe=use_pipe))
+        else:
+            teacher = jax.device_put(teacher, NamedSharding(self.mesh, P()))
+        self.teacher_params = teacher
+        if cfg_strength is not None:
+            self.distill_cfg_strength = cfg_strength
 
     def make_step(self):
         mel_cfg = self.model_cfg.mel
@@ -177,13 +212,25 @@ class Trainer:
         ema = fstep.EMASettings.from_train_cfg(self.train_cfg)
         grad_accum = self.train_cfg.grad_accumulation_steps
 
-        # single jitted step handling both audio->mel and precomputed-mel batches
-        def full_step(ts, batch, rng):
+        cfg_w = self.distill_cfg_strength
+
+        # single jitted step handling both audio->mel and precomputed-mel
+        # batches; `teacher` is an explicit jit ARG (None = plain CFM loss,
+        # a params pytree = CFG distillation) so it is never baked into the
+        # executable as a constant
+        def full_step(ts, batch, rng, teacher):
             rng = jax.random.fold_in(rng, ts.micro + ts.skipped)
 
             def loss_fn(params):
-                out = loss_with_device_mel(params, ts.model_state, arch, cfm, mel_cfg,
-                                           batch, rng, dtype)
+                if teacher is None:
+                    out = loss_with_device_mel(params, ts.model_state, arch, cfm,
+                                               mel_cfg, batch, rng, dtype)
+                else:
+                    from f5e_tts_tpu.train.distill import distill_loss_with_device_mel
+
+                    out = distill_loss_with_device_mel(
+                        params, teacher, ts.model_state, arch, cfm, mel_cfg,
+                        batch, rng, dtype, cfg_strength=cfg_w)
                 return out.loss, out
 
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
@@ -202,16 +249,17 @@ class Trainer:
             if jitted is None:
                 state_sh = jax.tree.map(self._canonical_sharding, ts)
                 jitted = jax.jit(full_step, donate_argnums=(0,),
-                                 in_shardings=(state_sh, None, None),
+                                 in_shardings=(state_sh, None, None, None),
                                  out_shardings=(state_sh, None))
             return jitted
 
         def step(ts, batch, rng):
-            return _ensure_jitted(ts)(ts, batch, rng)
+            return _ensure_jitted(ts)(ts, batch, rng, self.teacher_params)
 
         # for cost analysis: builds the jit (with pinned shardings) on demand
         # so lower() works before the first step() call too
-        step.lower = lambda ts, batch, rng: _ensure_jitted(ts).lower(ts, batch, rng)
+        step.lower = lambda ts, batch, rng: _ensure_jitted(ts).lower(
+            ts, batch, rng, self.teacher_params)
         return step
 
     # ------------------------------------------------------------------
@@ -317,7 +365,14 @@ class Trainer:
 
         total_updates = max_updates or (
             math.ceil(len(loader) / tc.grad_accumulation_steps) * epochs)
-        ts = self.init_state(total_updates, rng_seed=tc.seed)
+        # consume a state armed via init_state(pretrained_path=...) — the
+        # finetune/distill CLIs load pretrained weights that way; re-initing
+        # here would silently discard them (and the step donates the state
+        # buffers, so the cache is cleared: it is single-use)
+        ts = getattr(self, "_init_ts", None)
+        if ts is None:
+            ts = self.init_state(total_updates, rng_seed=tc.seed)
+        self._init_ts = None
         if resume:
             ts = self.load_checkpoint(ts)
         step = self.make_step()

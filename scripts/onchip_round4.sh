@@ -32,6 +32,10 @@ run bench_int8  python bench.py --nfe 16 --quantize int8
 # EPSS-pruned schedule (arXiv 2505.19931): 8 kept steps of the NFE-32 sway
 # grid — RTF point for the pruned-step serving mode (quality needs real ckpt)
 run bench_epss8 python bench.py --nfe 32 --prune 0,1,2,3,4,6,10,18,32
+# CFG-distilled serving mode (train/distill.py, arXiv 2504.20334): one pass
+# per ODE step — RTF is weight-independent, so random weights give the number
+run bench_cfg0  python bench.py --nfe 32 --cfg 0
+run bench_cfg0_nfe16 python bench.py --nfe 16 --cfg 0
 # serving needs a ref wav; synthesize one
 python - <<'EOF'
 import numpy as np, wave
@@ -55,6 +59,10 @@ run serve_c2_i16x2 python -m f5e_tts_tpu.serving.benchmark concurrent \
 run serve_c4_i16x4 python -m f5e_tts_tpu.serving.benchmark concurrent \
     --ref_audio /tmp/ref_r4.wav --nfe 16 --concurrency 4 --wav_only \
     --wire int16 --xfer-chunks 4
+# EPSS pruned grid through the batcher (8 kept steps of the NFE-32 grid)
+run serve_c2_epss8 python -m f5e_tts_tpu.serving.benchmark concurrent \
+    --ref_audio /tmp/ref_r4.wav --nfe 32 --prune 0,1,2,3,4,6,10,18,32 \
+    --concurrency 2 --wav_only --wire int16
 # ode_unroll A/B: carry copies grew 27x at bs=8 in the round-3 duty trace;
 # unroll=2 halves the loop-tuple round trips (bitwise-identical output)
 run thru_b8_u1    python scripts/bench_throughput.py --batch 8 --nfe 32

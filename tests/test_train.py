@@ -299,3 +299,34 @@ def test_trainer_rbg_prng(tmp_path):
         assert np.isfinite(float(metrics.loss))
     finally:
         jax.config.update("jax_default_prng_impl", before)
+
+
+def test_pretrained_weights_reach_train(tmp_path):
+    """init_state(pretrained_path=...) then train() must TRAIN FROM those
+    weights — the finetune/distill CLI contract. (Regression: train() used to
+    re-init from scratch, silently discarding the pretrained load.)"""
+    from f5e_tts_tpu.utils.torch_ckpt import dit_from_torch, load_torch_state_dict
+
+    ds = _toy_dataset(4)
+    loader = fdata.build_loader(ds, _tokenize, frames_threshold=300, max_samples=2,
+                                len_multiple=32)
+    model_cfg = ModelConfig(name="tiny", backbone="DiT", arch=ARCH, mel=MEL)
+    cfg1 = TrainConfig(learning_rate=1e-3, num_warmup_updates=1, last_per_updates=100,
+                       save_per_updates=100, save_dir=str(tmp_path / "a"), seed=0,
+                       compute_dtype="float32", mesh=MeshConfig(data=1, model=1, seq=1))
+    Trainer(model_cfg, cfg1, vocab_size=len(VOCAB), tokenize=_tokenize).train(
+        loader, epochs=1, resume=False, max_updates=2)
+    ckpt = str(tmp_path / "a" / "model_last.safetensors")
+
+    # lr=0: one update leaves params exactly at the pretrained values
+    cfg2 = TrainConfig(learning_rate=0.0, num_warmup_updates=1, last_per_updates=100,
+                       save_per_updates=100, save_dir=str(tmp_path / "b"), seed=7,
+                       compute_dtype="float32", mesh=MeshConfig(data=1, model=1, seq=1))
+    tr = Trainer(model_cfg, cfg2, vocab_size=len(VOCAB), tokenize=_tokenize)
+    tr.init_state(total_updates=4, pretrained_path=ckpt)
+    ts, _ = tr.train(loader, epochs=1, resume=False, max_updates=1)
+
+    want, _ = dit_from_torch(load_torch_state_dict(ckpt, use_ema=True), ARCH)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(ts.params["time_embed"]["mlp1"]["w"])),
+        np.asarray(want["time_embed"]["mlp1"]["w"]), atol=1e-6)
