@@ -16,6 +16,8 @@ NFE=${NFE:-16}
 QUANTIZE=${QUANTIZE:-}   # "int8": W8A8 backbone (ops/quant.py)
 WIRE=${WIRE:-float32}    # "int16": on-device pcm16 wav fetch
 XFER_CHUNKS=${XFER_CHUNKS:-1}  # >1: chunked wav fetch (early requests resolve first)
+PRUNE=${PRUNE:-}         # EPSS keep indices into the $NFE sway grid, e.g. "0,1,2,4,8,16"
+CFG=${CFG:-}             # cfg_strength override; "0" = CFG-distilled single-pass serving
 
 stage_check() {  # 0: artifacts present?
     for f in "$CKPT" "$VOCAB" "$VOCODER" "$REF_AUDIO"; do
@@ -34,7 +36,13 @@ tts = F5TTS(ckpt_file="$CKPT", vocab_file="$VOCAB", vocoder_local_path="$VOCODER
             quantize=("$QUANTIZE" or None))
 wav, sr = read_wav("$REF_AUDIO")
 ref_mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), tts.engine.mel))
-paths = export_sampler_buckets(tts.engine, ref_mel.shape[1], "engines/", nfe=$NFE)
+grid = None
+if "$PRUNE":
+    from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+    grid = pruned_sway_timesteps([int(i) for i in "$PRUNE".split(",")], base_steps=$NFE)
+cfg = float("$CFG") if "$CFG" else None
+paths = export_sampler_buckets(tts.engine, ref_mel.shape[1], "engines/", nfe=$NFE,
+                               timesteps=grid, cfg_strength=cfg)
 print("exported:", paths)
 PY
 }

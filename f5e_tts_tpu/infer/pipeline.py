@@ -296,16 +296,21 @@ class TTSEngine:
                                       timesteps=timesteps)
         return self.batcher
 
-    def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int):
-        """Exported-sampler lookup; None when absent or text doesn't fit."""
+    def _aot_sampler(self, nfe: int, ref_frames: int, bucket: int, min_text: int,
+                     timesteps=None, cfg_strength=None):
+        """Exported-sampler lookup; None when absent or text doesn't fit.
+
+        timesteps/cfg_strength select variant engines (EPSS pruned grids,
+        cfg-distilled cfg=0 serving) exported with the matching options."""
         if not self.engine_dir:
             return None
-        key = (nfe, ref_frames, bucket)
+        key = (nfe, ref_frames, bucket, timesteps, cfg_strength)
         if key not in self._aot_cache:
             from f5e_tts_tpu.utils.aot import find_sampler_engine, load_fn
 
             found = find_sampler_engine(self.engine_dir, nfe, ref_frames, bucket,
-                                        min_text)
+                                        min_text, timesteps=timesteps,
+                                        cfg_strength=cfg_strength)
             self._aot_cache[key] = (load_fn(found[0]), found[1]) if found else None
         entry = self._aot_cache[key]
         if entry is None or entry[1] < min_text:
@@ -374,11 +379,15 @@ class TTSEngine:
         padded = np.full((1, nt), -1, np.int32)
         padded[0, : min(text_ids.shape[1], nt)] = text_ids[0, :nt]
 
-        # AOT engine fast path (plain-CFG only; exported engines bake the
-        # default cfg/sway — overridden values fall back to the jit path)
-        if (mode not in ("tts", "vc") and ppg is None and timesteps is None
-                and cfg == icfg.cfg_strength and sway == icfg.sway_sampling_coef):
-            aot = self._aot_sampler(nfe, ref_frames, bucket, nt)
+        # AOT engine fast path (plain-CFG only). Default cfg/sway uses the
+        # untagged engine files; an EPSS grid or cfg override dispatches to a
+        # variant engine exported with those options (absent -> jit fallback).
+        if (mode not in ("tts", "vc") and ppg is None
+                and sway == icfg.sway_sampling_coef):
+            ts_key = tuple(float(t) for t in timesteps) if timesteps is not None else None
+            cfg_key = None if cfg == icfg.cfg_strength else cfg
+            aot = self._aot_sampler(nfe, ref_frames, bucket, nt,
+                                    timesteps=ts_key, cfg_strength=cfg_key)
             if aot is not None:
                 fn, tl = aot
                 wide = np.full((1, tl), -1, np.int32)

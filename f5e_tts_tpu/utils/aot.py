@@ -35,16 +35,43 @@ def load_fn(path: str) -> Callable:
     return jax.jit(exp.call)
 
 
+def _variant_tag(timesteps=None, cfg_strength=None) -> str:
+    """Filename tag for non-default sampler variants (EPSS grid / cfg
+    override). Default serving keeps the historical untagged name so existing
+    engine dirs stay valid. The grid tags by content hash: the same
+    pruned_sway_timesteps tuple always produces the same tag on exporter and
+    loader sides."""
+    import hashlib
+
+    tag = ""
+    if timesteps is not None:
+        key = ",".join(f"{float(t):.9e}" for t in timesteps)
+        tag += "_ts" + hashlib.sha1(key.encode()).hexdigest()[:8]
+    if cfg_strength is not None:
+        tag += f"_cfg{float(cfg_strength):g}"
+    return tag
+
+
 def export_sampler_buckets(engine, ref_frames: int, out_dir: str,
                            buckets: Sequence[int] | None = None,
-                           nfe: int = 32, text_len: int = 256) -> list:
+                           nfe: int = 32, text_len: int = 256,
+                           timesteps: Sequence[float] | None = None,
+                           cfg_strength: float | None = None) -> list:
     """Export the folded-CFG sampler for each duration bucket.
 
     Returns the list of written paths. Serving loads them with load_fn and
     calls with (params, cond, lens, duration, text_ids, key-ints).
+
+    timesteps bakes an explicit ODE grid (EPSS pruned schedules — nfe becomes
+    len(grid)-1); cfg_strength bakes a non-default guidance weight (0 = the
+    CFG-distilled single-pass serving mode).
     """
     from f5e_tts_tpu.models import cfm as fcfm
 
+    ts_grid = tuple(float(t) for t in timesteps) if timesteps is not None else None
+    cfg = (engine.infer_cfg.cfg_strength if cfg_strength is None else cfg_strength)
+    eff_nfe = len(ts_grid) - 1 if ts_grid is not None else nfe
+    tag = _variant_tag(ts_grid, cfg_strength)
     buckets = list(buckets or engine.buckets)
     paths = []
     for bucket in buckets:
@@ -54,10 +81,11 @@ def export_sampler_buckets(engine, ref_frames: int, out_dir: str,
         def synth(params, cond, lens, duration, text_ids, seed):
             inputs = fcfm.prepare_inputs(cond, lens, duration, bucket, text_ids=text_ids)
             out, _ = fcfm.sample(params, engine.state, engine.arch, engine.cfm, inputs,
-                                 jax.random.PRNGKey(seed[0]), steps=nfe,
-                                 cfg_strength=engine.infer_cfg.cfg_strength,
+                                 jax.random.PRNGKey(seed[0]), steps=eff_nfe,
+                                 cfg_strength=cfg,
                                  sway_coef=engine.infer_cfg.sway_sampling_coef,
-                                 use_mask=True, compute_dtype=engine.compute_dtype)
+                                 use_mask=True, timesteps=ts_grid,
+                                 compute_dtype=engine.compute_dtype)
             return out
 
         args = (
@@ -69,23 +97,33 @@ def export_sampler_buckets(engine, ref_frames: int, out_dir: str,
             jnp.zeros((1,), jnp.int32),
         )
         path = os.path.join(
-            out_dir, f"sampler_nfe{nfe}_ref{ref_frames}_b{bucket}_t{text_len}.jaxexport")
+            out_dir,
+            f"sampler_nfe{eff_nfe}{tag}_ref{ref_frames}_b{bucket}_t{text_len}.jaxexport")
         export_fn(synth, args, path)
         paths.append(path)
     return paths
 
 
 def find_sampler_engine(engine_dir: str, nfe: int, ref_frames: int,
-                        bucket: int, min_text_len: int):
-    """Locate an exported sampler matching (nfe, ref_frames, bucket) whose
-    baked text length covers `min_text_len` (extra -1 text padding is filler
-    and does not change the output). Returns (path, text_len) or None."""
+                        bucket: int, min_text_len: int,
+                        timesteps: Sequence[float] | None = None,
+                        cfg_strength: float | None = None):
+    """Locate an exported sampler matching (nfe, ref_frames, bucket, variant)
+    whose baked text length covers `min_text_len` (extra -1 text padding is
+    filler and does not change the output). Returns (path, text_len) or None.
+
+    timesteps/cfg_strength select variant engines (EPSS grid / cfg override,
+    matched by the export-side tag); None selects the default untagged one."""
     import re
 
     best = None
     if not os.path.isdir(engine_dir):
         return None
-    pat = re.compile(rf"^sampler_nfe{nfe}_ref{ref_frames}_b{bucket}_t(\d+)\.jaxexport$")
+    if timesteps is not None:
+        nfe = len(tuple(timesteps)) - 1
+    tag = re.escape(_variant_tag(timesteps, cfg_strength))
+    pat = re.compile(
+        rf"^sampler_nfe{nfe}{tag}_ref{ref_frames}_b{bucket}_t(\d+)\.jaxexport$")
     for name in os.listdir(engine_dir):
         m = pat.match(name)
         if not m:

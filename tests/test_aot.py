@@ -87,7 +87,7 @@ def test_engine_dir_fast_path_matches_jit(tmp_path, rng):
     out_fb = aot_engine.synthesize_chunk(ref_mel, "a ref. hello.", duration=48,
                                          seed=5, nfe_steps=4)
     assert np.isfinite(out_fb).all()
-    assert aot_engine._aot_cache[(4, 16, 64)] is None
+    assert aot_engine._aot_cache[(4, 16, 64, None, None)] is None
 
     # finder: text too long for any exported engine -> None
     assert find_sampler_engine(str(tmp_path), 2, 16, 64, min_text_len=99) is None
@@ -124,3 +124,50 @@ def test_export_ppg_buckets(tmp_path, rng):
                                rtol=1e-5, atol=1e-6)
     # no bucket large enough -> None
     assert find_ppg_engine(str(tmp_path), batch=1, t=100) is None
+
+
+def test_variant_engines_epss_and_cfg0(tmp_path, rng):
+    """Variant engine files: an EPSS pruned grid and a cfg=0 (distilled
+    serving) export get tagged filenames, dispatch from synthesize_chunk, and
+    match the jit path bitwise; the finder never confuses variants."""
+    from f5e_tts_tpu.config import CFMConfig, DiTConfig, InferConfig, MelConfig
+    from f5e_tts_tpu.infer.pipeline import TTSEngine
+    from f5e_tts_tpu.models import dit as fdit
+    from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+    from f5e_tts_tpu.utils.aot import export_sampler_buckets, find_sampler_engine
+
+    mel = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=8,
+                    target_sample_rate=8000)
+    arch = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=8,
+                     text_dim=16, conv_layers=0, dropout=0.0)
+    params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, 30)
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.")}
+    base = dict(params=params, state=state, arch=arch, vocab=vocab, mel=mel,
+                cfm=CFMConfig(), infer_cfg=InferConfig(nfe_steps=4),
+                tokenizer="char", vocoder_decode=None,
+                compute_dtype=jnp.float32, buckets=(64,), text_pad_to=8)
+    jit_engine = TTSEngine(**base)
+    ref_mel = rng.standard_normal((1, 16, 8)).astype(np.float32)
+
+    grid = pruned_sway_timesteps([0, 1, 4], base_steps=4)  # 2 effective steps
+    p1 = export_sampler_buckets(jit_engine, ref_frames=16, out_dir=str(tmp_path),
+                                nfe=4, text_len=16, timesteps=grid)
+    p2 = export_sampler_buckets(jit_engine, ref_frames=16, out_dir=str(tmp_path),
+                                nfe=4, text_len=16, cfg_strength=0.0)
+    assert "_ts" in p1[0] and "_cfg0" in p2[0]
+
+    # finder is variant-exact: default lookup sees neither tagged file
+    assert find_sampler_engine(str(tmp_path), 4, 16, 64, 16) is None
+    assert find_sampler_engine(str(tmp_path), 4, 16, 64, 16, timesteps=grid)
+    assert find_sampler_engine(str(tmp_path), 4, 16, 64, 16, cfg_strength=0.0)
+    wrong = tuple(t + 0.01 for t in grid)
+    assert find_sampler_engine(str(tmp_path), 4, 16, 64, 16, timesteps=wrong) is None
+
+    aot_engine = TTSEngine(**base, engine_dir=str(tmp_path))
+    kw = dict(duration=48, seed=5)
+    for variant in (dict(timesteps=grid), dict(cfg_strength=0.0)):
+        out_jit = jit_engine.synthesize_chunk(ref_mel, "a ref. hello.", **kw, **variant)
+        out_aot = aot_engine.synthesize_chunk(ref_mel, "a ref. hello.", **kw, **variant)
+        np.testing.assert_array_equal(out_aot, out_jit)
+    engaged = [k for k, v in aot_engine._aot_cache.items() if v is not None]
+    assert len(engaged) == 2, aot_engine._aot_cache
