@@ -86,6 +86,8 @@ def main():
                     help="EPSS-pruned schedule (arXiv 2505.19931): comma-separated "
                          "keep indices into the --nfe sway grid, e.g. "
                          "'0,1,2,3,5,9,17,32' — NFE becomes len-1")
+    ap.add_argument("--scan-unroll", type=int, default=1,
+                    help="depth-scan unroll (DiTConfig.scan_unroll)")
     ap.add_argument("--cfg", type=float, default=2.0,
                     help="cfg_strength; 0 = the CFG-distilled serving mode "
                          "(train/distill.py): ONE backbone pass per ODE step "
@@ -104,8 +106,10 @@ def main():
     from f5e_tts_tpu.models import dit as fdit
     from f5e_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
 
+    import dataclasses
+
     model_cfg = preset("F5TTS_v1_Base")
-    arch = model_cfg.arch
+    arch = dataclasses.replace(model_cfg.arch, scan_unroll=args.scan_unroll)
     cfm = CFMConfig(ode_unroll=args.unroll)
     vocab = 2545
 

@@ -103,6 +103,13 @@ class DiTConfig:
     codebook: CodebookConfig = field(default_factory=CodebookConfig)
     # TPU additions
     max_pos: int = 4096  # precomputed abs/rope position table length (~44 s @ 24 kHz hop 256)
+    # lax.scan unroll over the depth axis (1 = off). XLA keeps the scan
+    # carry + stacked per-layer params in a while-loop tuple; unrolling N
+    # blocks per iteration halves/quarters the loop round trips (same lever
+    # as CFMConfig.ode_unroll for the NFE loop) at N x the traced block's
+    # compile size. Numerically equivalent but NOT bitwise: XLA re-fuses
+    # across unrolled blocks at ulp level (measured max|err| ~4e-9 fp32).
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

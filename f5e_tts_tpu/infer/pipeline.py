@@ -276,7 +276,8 @@ class TTSEngine:
     def enable_batching(self, max_batch: int = 4, window_ms: float = 20.0,
                         nfe_steps: Optional[int] = None, return_mel: bool = True,
                         wire_dtype: str = "float32", xfer_chunks: int = 1,
-                        timesteps: Optional[tuple] = None):
+                        timesteps: Optional[tuple] = None,
+                        cfg_strength: Optional[float] = None):
         """Attach a DynamicBatcher. infer() chunks at the batcher's exact
         sampler configuration (nfe + default cfg/sway, plain-CFG mode) route
         through it; anything else falls back to the direct jit path.
@@ -284,11 +285,14 @@ class TTSEngine:
         servers); wire_dtype="int16" quantizes the wav to pcm16 on device so
         the fetch moves half the bytes (futures still resolve float32);
         xfer_chunks>1 (wav-only) fetches the batch's wavs in row chunks so
-        early requests resolve before the whole batch has crossed the link."""
+        early requests resolve before the whole batch has crossed the link;
+        cfg_strength bakes a non-default guidance weight (0 = the
+        CFG-distilled single-pass serving mode, train/distill.py)."""
         from f5e_tts_tpu.serving.batcher import DynamicBatcher
 
         self.batcher = DynamicBatcher(self, max_batch=max_batch,
                                       window_ms=window_ms, nfe_steps=nfe_steps,
+                                      cfg_strength=cfg_strength,
                                       text_pad_to=self.text_pad_to,
                                       return_mel=return_mel,
                                       wire_dtype=wire_dtype,

@@ -395,7 +395,8 @@ def dit_trunk(params, cfg: DiTConfig, x, t_emb, mask, seq_len,
         def body(h, scanned):
             return block_fn(h, scanned, t_emb, mask), None
 
-        x, _ = jax.lax.scan(body, x, (blocks, layer_rngs))
+        x, _ = jax.lax.scan(body, x, (blocks, layer_rngs),
+                            unroll=getattr(cfg, "scan_unroll", 1))
 
     if cfg.long_skip_connection:
         x = fnn.linear(params["long_skip"], jnp.concatenate([x, residual], axis=-1), compute_dtype)

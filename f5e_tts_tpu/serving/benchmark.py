@@ -56,7 +56,8 @@ def bench_offline(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
 
 def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                      texts: List[str], nfe: int, concurrency: int = 4,
-                     warmup: bool = True, timesteps=None) -> dict:
+                     warmup: bool = True, timesteps=None,
+                     cfg_strength=None) -> dict:
     """Concurrent offline benchmark: N client threads against one engine.
 
     With a DynamicBatcher attached (engine.enable_batching) concurrent
@@ -78,7 +79,7 @@ def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                         return
                     t = warm_q.pop()
                 engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe,
-                             timesteps=timesteps)
+                             timesteps=timesteps, cfg_strength=cfg_strength)
 
         ths = [threading.Thread(target=warm_worker) for _ in range(concurrency)]
         for t in ths:
@@ -101,7 +102,8 @@ def bench_concurrent(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                 text = queue.pop()
             t1 = time.perf_counter()
             wav, sr, _ = engine.infer(ref_wav, ref_sr, ref_text, text,
-                                      nfe_steps=nfe, timesteps=timesteps)
+                                      nfe_steps=nfe, timesteps=timesteps,
+                                      cfg_strength=cfg_strength)
             with lock:
                 results.append((time.perf_counter() - t1, len(wav) / sr))
 
@@ -145,7 +147,8 @@ def stage_summary(engine, wall: float, total_audio: float) -> dict:
 
 def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                    texts: List[str], nfe: int, qps: float,
-                   seed: int = 0, warmup: bool = True, timesteps=None) -> dict:
+                   seed: int = 0, warmup: bool = True, timesteps=None,
+                   cfg_strength=None) -> dict:
     """Open-loop benchmark: Poisson arrivals at a target QPS.
 
     The reference's benchmark (runtime/triton_trtllm/benchmark.py) and our
@@ -160,7 +163,7 @@ def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
         # fold-1 per distinct text (covers every bucket the workload hits)
         for t in set(texts):
             engine.infer(ref_wav, ref_sr, ref_text, t, nfe_steps=nfe,
-                         timesteps=timesteps)
+                         timesteps=timesteps, cfg_strength=cfg_strength)
         # then EVERY pow2 fold shape the batcher can emit (open-loop arrivals
         # produce folds 1..max_batch; an unwarmed fold = an XLA compile
         # inside the measurement)
@@ -170,7 +173,8 @@ def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
                                     args=(ref_wav, ref_sr, ref_text,
                                           texts[i % len(texts)]),
                                     kwargs={"nfe_steps": nfe,
-                                            "timesteps": timesteps})
+                                            "timesteps": timesteps,
+                                            "cfg_strength": cfg_strength})
                    for i in range(k)]
             for t in ths:
                 t.start()
@@ -190,7 +194,8 @@ def bench_openloop(engine, ref_wav: np.ndarray, ref_sr: int, ref_text: str,
         now = time.perf_counter() - t0
         if arrive_at > now:
             time.sleep(arrive_at - now)
-        wav, sr, _ = engine.infer(ref_wav, ref_sr, ref_text, text, nfe_steps=nfe)
+        wav, sr, _ = engine.infer(ref_wav, ref_sr, ref_text, text, nfe_steps=nfe,
+                                  timesteps=timesteps, cfg_strength=cfg_strength)
         done = time.perf_counter() - t0
         with lock:
             results.append((done - arrive_at, len(wav) / sr))
@@ -291,6 +296,9 @@ def main(argv=None):
                     help="EPSS keep indices into the --nfe sway grid "
                          "(comma-separated, e.g. '0,1,2,3,5,9,17,32'); bakes "
                          "the pruned grid into the batcher")
+    pc.add_argument("--cfg", type=float, default=None,
+                    help="cfg_strength override; 0 = CFG-distilled "
+                         "single-pass serving (train/distill.py)")
     pc.add_argument("--xfer-chunks", type=int, default=1,
                     help=">1 (with --wav-only): fetch the batch's wavs in "
                          "row chunks so early requests resolve before the "
@@ -317,6 +325,9 @@ def main(argv=None):
                     help="EPSS keep indices into the --nfe sway grid "
                          "(comma-separated, e.g. '0,1,2,3,5,9,17,32'); bakes "
                          "the pruned grid into the batcher")
+    pl.add_argument("--cfg", type=float, default=None,
+                    help="cfg_strength override; 0 = CFG-distilled "
+                         "single-pass serving (train/distill.py)")
     pl.add_argument("--xfer-chunks", type=int, default=1,
                     help=">1 (with --wav-only): fetch the batch's wavs in "
                          "row chunks so early requests resolve before the "
@@ -355,11 +366,12 @@ def main(argv=None):
                                        return_mel=not args.wav_only,
                                        wire_dtype=args.wire,
                                        xfer_chunks=args.xfer_chunks,
-                                       timesteps=grid)
+                                       timesteps=grid, cfg_strength=args.cfg)
         wav, sr = read_wav(args.ref_audio)
         stats = bench_concurrent(tts.engine, wav, sr, args.ref_text,
                                  DEFAULT_TEXTS[:26], args.nfe,
-                                 concurrency=args.concurrency, timesteps=grid)
+                                 concurrency=args.concurrency, timesteps=grid,
+                                 cfg_strength=args.cfg)
     elif args.mode == "openloop":
         from f5e_tts_tpu.api import F5TTS
         from f5e_tts_tpu.infer.audio import read_wav
@@ -378,11 +390,12 @@ def main(argv=None):
                                        return_mel=not args.wav_only,
                                        wire_dtype=args.wire,
                                        xfer_chunks=args.xfer_chunks,
-                                       timesteps=grid)
+                                       timesteps=grid, cfg_strength=args.cfg)
         wav, sr = read_wav(args.ref_audio)
         texts = (DEFAULT_TEXTS * (args.requests // len(DEFAULT_TEXTS) + 1))[: args.requests]
         stats = bench_openloop(tts.engine, wav, sr, args.ref_text, texts,
-                               args.nfe, qps=args.qps, timesteps=grid)
+                               args.nfe, qps=args.qps, timesteps=grid,
+                               cfg_strength=args.cfg)
     else:
         stats = bench_server(args.host, args.port, DEFAULT_TEXTS[: args.requests],
                              args.concurrency)

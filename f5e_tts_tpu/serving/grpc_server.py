@@ -52,6 +52,8 @@ class GrpcTTS:
         out_sr = self.processor.engine.mel.target_sample_rate
         stream = self.processor.engine.infer(
             ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed,
+            timesteps=self.processor.timesteps,
+            cfg_strength=self.processor.cfg_strength,
             streaming=True, chunk_size=self.processor.chunk_size)
         for chunk, _sr in stream:
             if len(chunk):
@@ -67,7 +69,9 @@ class GrpcTTS:
         nfe = request.nfe_steps or self.processor.nfe_steps
         speed = request.speed or 1.0
         wav, out_sr, _mel = self.processor.engine.infer(
-            ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed)
+            ref, sr, ref_text, request.gen_text, nfe_steps=nfe, speed=speed,
+            timesteps=self.processor.timesteps,
+            cfg_strength=self.processor.cfg_strength)
         return tts_pb2.AudioChunk(pcm_f32=np.asarray(wav, np.float32).tobytes(),
                                   sample_rate=out_sr, is_final=True)
 
@@ -128,6 +132,12 @@ def main(argv=None):
                    help=">1: fetch the batch's wavs in row chunks so early "
                         "requests resolve before the whole batch has "
                         "crossed the device link")
+    p.add_argument("--prune", default=None,
+                   help="EPSS keep indices into the --nfe_step sway grid "
+                        "(comma-separated); bakes the pruned ODE schedule")
+    p.add_argument("--cfg", type=float, default=None,
+                   help="cfg_strength override; 0 = CFG-distilled "
+                        "single-pass serving (train/distill.py)")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -141,6 +151,12 @@ def main(argv=None):
                 vocoder_local_path=args.vocoder_local_path,
                 engine_dir=args.engine_dir)
     wav, sr = read_wav(args.ref_audio)
+    grid = None
+    if args.prune:
+        from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+
+        grid = pruned_sway_timesteps([int(i) for i in args.prune.split(",")],
+                                     base_steps=args.nfe_step)
     if args.max_batch > 0:
         # attach before warm-up so the (max_batch, bucket) shapes compile
         tts.engine.enable_batching(max_batch=args.max_batch,
@@ -148,10 +164,12 @@ def main(argv=None):
                                    nfe_steps=args.nfe_step,
                                    return_mel=False,
                                    wire_dtype=args.wire_device,
-                                   xfer_chunks=args.xfer_chunks)
+                                   xfer_chunks=args.xfer_chunks,
+                                   timesteps=grid, cfg_strength=args.cfg)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
                                       nfe_steps=args.nfe_step,
-                                      warm_up=not args.no_warmup)
+                                      warm_up=not args.no_warmup,
+                                      timesteps=grid, cfg_strength=args.cfg)
     server, bound = make_server(processor, args.host, args.port)
     server.start()
     print(f"grpc listening on {args.host}:{bound}", flush=True)

@@ -32,7 +32,7 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
 
 
 def warm_up_buckets(engine, ref_mel: np.ndarray, ref_text: str, nfe: int,
-                    buckets=None):
+                    buckets=None, timesteps=None, cfg_strength=None):
     """Compile the sampler for every duration bucket (AOT ladder).
 
     When a DynamicBatcher is attached the (max_batch, bucket) shapes it
@@ -59,7 +59,8 @@ def warm_up_buckets(engine, ref_mel: np.ndarray, ref_text: str, nfe: int,
                 k *= 2
         else:
             engine.synthesize_chunk(ref_mel, ref_text + " warm up.", duration,
-                                    nfe_steps=nfe, seed=0)
+                                    nfe_steps=nfe, timesteps=timesteps,
+                                    cfg_strength=cfg_strength, seed=0)
 
 
 def enable_compilation_cache(path: str) -> None:
@@ -82,6 +83,8 @@ class TTSHandler(BaseHTTPRequestHandler):
     ref_sr = None
     ref_text = ""
     nfe = 32
+    timesteps = None      # EPSS pruned grid baked at serve() time
+    cfg_strength = None   # non-default guidance (0 = distilled serving)
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -107,6 +110,7 @@ class TTSHandler(BaseHTTPRequestHandler):
             nfe = int(req.get("nfe", self.nfe))
             out, sr, _ = self.engine.infer(
                 self.ref_audio, self.ref_sr, self.ref_text, text, nfe_steps=nfe,
+                timesteps=self.timesteps, cfg_strength=self.cfg_strength,
                 seed=int(req.get("seed", 0)))
             body = wav_bytes(out, sr)
             self.send_response(200)
@@ -125,23 +129,30 @@ class TTSHandler(BaseHTTPRequestHandler):
 
 def serve(engine, ref_audio, ref_sr, ref_text, host="0.0.0.0", port=8000, nfe=32,
           warm=True, max_batch: int = 4, batch_window_ms: float = 20.0,
-          wire_device: str = "float32", xfer_chunks: int = 1):
+          wire_device: str = "float32", xfer_chunks: int = 1,
+          timesteps=None, cfg_strength=None):
+    if timesteps is not None:
+        nfe = len(timesteps) - 1  # the grid subsumes nfe
     if max_batch > 0 and engine.batcher is None:
         engine.enable_batching(max_batch=max_batch, window_ms=batch_window_ms,
                                nfe_steps=nfe, return_mel=False,
-                               wire_dtype=wire_device, xfer_chunks=xfer_chunks)
+                               wire_dtype=wire_device, xfer_chunks=xfer_chunks,
+                               timesteps=timesteps, cfg_strength=cfg_strength)
     if warm:
         import jax.numpy as jnp
 
         from f5e_tts_tpu.ops.mel import mel_spectrogram
 
         ref_mel = np.asarray(mel_spectrogram(jnp.asarray(ref_audio[None]), engine.mel))
-        warm_up_buckets(engine, ref_mel, ref_text, nfe)
+        warm_up_buckets(engine, ref_mel, ref_text, nfe,
+                        timesteps=timesteps, cfg_strength=cfg_strength)
     TTSHandler.engine = engine
     TTSHandler.ref_audio = ref_audio
     TTSHandler.ref_sr = ref_sr
     TTSHandler.ref_text = ref_text
     TTSHandler.nfe = nfe
+    TTSHandler.timesteps = tuple(timesteps) if timesteps is not None else None
+    TTSHandler.cfg_strength = cfg_strength
     srv = ThreadingHTTPServer((host, port), TTSHandler)
     print(f"HTTP TTS on {host}:{port} (POST /tts)")
     srv.serve_forever()
@@ -172,6 +183,12 @@ def main(argv=None):
                    help=">1: fetch the batch's wavs in row chunks so early "
                         "requests resolve before the whole batch has "
                         "crossed the device link")
+    p.add_argument("--prune", default=None,
+                   help="EPSS keep indices into the --nfe sway grid "
+                        "(comma-separated); bakes the pruned ODE schedule")
+    p.add_argument("--cfg", type=float, default=None,
+                   help="cfg_strength override; 0 = CFG-distilled "
+                        "single-pass serving (train/distill.py)")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -180,10 +197,16 @@ def main(argv=None):
     tts = F5TTS(model=args.model, ckpt_file=args.ckpt_file, vocab_file=args.vocab_file,
                 vocoder_local_path=args.vocoder_local_path)
     wav, sr = read_wav(args.ref_audio)
+    grid = None
+    if args.prune:
+        from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+
+        grid = pruned_sway_timesteps([int(i) for i in args.prune.split(",")],
+                                     base_steps=args.nfe)
     serve(tts.engine, wav, sr, args.ref_text, args.host, args.port, args.nfe,
           warm=not args.no_warm, max_batch=args.max_batch,
           batch_window_ms=args.batch_window_ms, wire_device=args.wire_device,
-          xfer_chunks=args.xfer_chunks)
+          xfer_chunks=args.xfer_chunks, timesteps=grid, cfg_strength=args.cfg)
 
 
 if __name__ == "__main__":

@@ -55,7 +55,9 @@ class TTSStreamingProcessor:
 
     def __init__(self, engine, ref_audio: np.ndarray, ref_sr: int, ref_text: str,
                  chunk_size: int = 2048, nfe_steps: Optional[int] = None,
-                 warm_up: bool = True, wire: str = "f32"):
+                 warm_up: bool = True, wire: str = "f32",
+                 timesteps: Optional[tuple] = None,
+                 cfg_strength: Optional[float] = None):
         # wire="pcm16": stream int16 PCM frames (half the bytes) instead of
         # the reference protocol's float32 (socket_server.py:138-178). Opt-in;
         # f32 stays the default for client protocol parity.
@@ -66,6 +68,12 @@ class TTSStreamingProcessor:
         self.ref_sr = ref_sr
         self.ref_text = ref_text
         self.chunk_size = chunk_size
+        # EPSS pruned grid / guidance override (0 = CFG-distilled serving);
+        # the grid subsumes nfe
+        self.timesteps = tuple(timesteps) if timesteps is not None else None
+        self.cfg_strength = cfg_strength
+        if self.timesteps is not None:
+            nfe_steps = len(self.timesteps) - 1
         self.nfe_steps = nfe_steps
         if warm_up:
             self._warm_up()
@@ -87,7 +95,8 @@ class TTSStreamingProcessor:
                        self.engine.mel.target_sample_rate)
         ref_mel = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), self.engine.mel))
         warm_up_buckets(self.engine, ref_mel, self.ref_text or "warm up.",
-                        self.nfe_steps or self.engine.infer_cfg.nfe_steps)
+                        self.nfe_steps or self.engine.infer_cfg.nfe_steps,
+                        timesteps=self.timesteps, cfg_strength=self.cfg_strength)
 
     def generate_stream(self, text: str, send):
         """Synthesize `text`, calling send(bytes) per float32 chunk + END.
@@ -96,6 +105,8 @@ class TTSStreamingProcessor:
         engine's DynamicBatcher when one is attached."""
         stream = self.engine.infer(self.ref_audio, self.ref_sr, self.ref_text,
                                    text, nfe_steps=self.nfe_steps, streaming=True,
+                                   timesteps=self.timesteps,
+                                   cfg_strength=self.cfg_strength,
                                    chunk_size=self.chunk_size)
         for chunk, _sr in stream:
             if len(chunk):
@@ -167,6 +178,12 @@ def main(argv=None):
                    help=">1: fetch the batch's wavs in row chunks so early "
                         "requests resolve before the whole batch has "
                         "crossed the device link")
+    p.add_argument("--prune", default=None,
+                   help="EPSS keep indices into the --nfe_step sway grid "
+                        "(comma-separated); bakes the pruned ODE schedule")
+    p.add_argument("--cfg", type=float, default=None,
+                   help="cfg_strength override; 0 = CFG-distilled "
+                        "single-pass serving (train/distill.py)")
     p.add_argument("--compilation_cache", default="",
                    help="persistent XLA compile-cache dir (cold-start reuse)")
     args = p.parse_args(argv)
@@ -179,6 +196,12 @@ def main(argv=None):
                 vocoder_local_path=args.vocoder_local_path,
                 engine_dir=args.engine_dir)
     wav, sr = read_wav(args.ref_audio)
+    grid = None
+    if args.prune:
+        from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+
+        grid = pruned_sway_timesteps([int(i) for i in args.prune.split(",")],
+                                     base_steps=args.nfe_step)
     if args.max_batch > 0:
         # attach before warm-up so the (max_batch, bucket) shapes compile
         tts.engine.enable_batching(max_batch=args.max_batch,
@@ -186,9 +209,11 @@ def main(argv=None):
                                    nfe_steps=args.nfe_step,
                                    return_mel=False,
                                    wire_dtype=args.wire_device,
-                                   xfer_chunks=args.xfer_chunks)
+                                   xfer_chunks=args.xfer_chunks,
+                                   timesteps=grid, cfg_strength=args.cfg)
     processor = TTSStreamingProcessor(tts.engine, wav, sr, args.ref_text,
-                                      nfe_steps=args.nfe_step, wire=args.wire)
+                                      nfe_steps=args.nfe_step, wire=args.wire,
+                                      timesteps=grid, cfg_strength=args.cfg)
     serve(processor, args.host, args.port)
 
 

@@ -59,6 +59,8 @@ def main():
                         "prng_impl='rbg') instead of threefry")
     p.add_argument("--remat_policy", default="block",
                    choices=["block", "save_attn", "save_attn_ff"])
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="depth-scan unroll (DiTConfig.scan_unroll)")
     p.add_argument("--bnb", action="store_true",
                    help="int8 Adam moments (train.adamw8bit) — halves "
                         "optimizer-state HBM, fits larger frame batches")
@@ -67,11 +69,12 @@ def main():
     import dataclasses
 
     model_cfg = preset(args.model)
+    arch_over = dict(scan_unroll=args.scan_unroll)
     if not args.no_remat:
-        model_cfg = dataclasses.replace(
-            model_cfg, arch=dataclasses.replace(model_cfg.arch,
-                                                checkpoint_activations=True,
-                                                remat_policy=args.remat_policy))
+        arch_over.update(checkpoint_activations=True,
+                         remat_policy=args.remat_policy)
+    model_cfg = dataclasses.replace(
+        model_cfg, arch=dataclasses.replace(model_cfg.arch, **arch_over))
     train_cfg = TrainConfig(
         learning_rate=7.5e-5, num_warmup_updates=10,
         batch_size_per_device=args.batch * args.length,

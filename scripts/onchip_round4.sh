@@ -78,4 +78,9 @@ run train_b32_ff  python scripts/bench_train.py --batch 32 --len 1664 \
     --remat_policy save_attn_ff --rbg
 run train_b24_ff  python scripts/bench_train.py --batch 24 --len 1664 \
     --remat_policy save_attn_ff --rbg
+# depth-scan unroll A/B (DiTConfig.scan_unroll): fewer while-loop round
+# trips per layer, train + sampler sides
+run bench_su2     python bench.py --nfe 16 --scan-unroll 2
+run train_b32_su2 python scripts/bench_train.py --batch 32 --len 1664 \
+    --remat_policy save_attn --scan_unroll 2
 echo "ALL DONE -> $OUT/summary.log"

@@ -441,6 +441,7 @@ def test_socket_pcm16_wire_framing():
         proc.engine = _FakeEngine()
         proc.ref_audio, proc.ref_sr, proc.ref_text = np.zeros(80, np.float32), 8000, "r"
         proc.chunk_size, proc.nfe_steps, proc.wire = 2048, 2, wire
+        proc.timesteps, proc.cfg_strength = None, None
         sent = []
         proc.generate_stream("hello", sent.append)
         assert sent[-1] == b"END"

@@ -219,3 +219,33 @@ def test_api_class(tmp_path, ref_wav):
     assert os.path.exists(out_path)
     assert tts.seed == 7
     assert spec.shape[1] == 100
+
+
+def test_processor_pruned_grid_cfg0(engine, ref_wav):
+    """Server-level EPSS/cfg plumbing: a processor armed with a pruned grid
+    and cfg=0 streams EXACTLY what the engine produces directly with the same
+    options (the distilled-serving configuration, train/distill.py)."""
+    from f5e_tts_tpu.models.cfm import pruned_sway_timesteps
+    from f5e_tts_tpu.serving.socket_server import TTSStreamingProcessor
+
+    _, wav = ref_wav
+    grid = pruned_sway_timesteps([0, 1, 4], base_steps=4)
+    proc = TTSStreamingProcessor(engine, wav, 8000, "hello there.",
+                                 chunk_size=500, nfe_steps=4, warm_up=False,
+                                 timesteps=grid, cfg_strength=0.0)
+    assert proc.nfe_steps == 2  # the grid subsumes nfe
+    got = []
+    proc.generate_stream("a short test sentence.", got.append)
+    assert got[-1] == b"END"
+    streamed = np.concatenate([np.frombuffer(b, np.float32) for b in got[:-1]])
+
+    direct, _sr, mel_d = engine.infer(wav, 8000, "hello there.",
+                                      "a short test sentence.", nfe_steps=2,
+                                      timesteps=grid, cfg_strength=0.0)
+    np.testing.assert_array_equal(streamed, direct.astype(np.float32))
+    # and the generated MEL is not the default-config one (the options
+    # really reached the sampler; the fixture vocoder is constant, so the
+    # wav cannot distinguish configs)
+    _w, _sr, mel_b = engine.infer(wav, 8000, "hello there.",
+                                  "a short test sentence.", nfe_steps=2)
+    assert not np.array_equal(np.asarray(mel_d), np.asarray(mel_b))
