@@ -30,10 +30,14 @@ def main():
     p.add_argument("--bucket", type=int, default=1536)
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll for the NFE loop (carry-copy lever)")
+    p.add_argument("--scan-unroll", type=int, default=1,
+                   help="depth-scan unroll (DiTConfig.scan_unroll)")
     args = p.parse_args()
 
+    import dataclasses
+
     model_cfg = preset("F5TTS_v1_Base")
-    arch = model_cfg.arch
+    arch = dataclasses.replace(model_cfg.arch, scan_unroll=args.scan_unroll)
     cfm = CFMConfig(ode_unroll=args.unroll)
     params, state = fdit.init_dit(jax.random.PRNGKey(0), arch, 2545)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
