@@ -132,6 +132,7 @@ class UNetTConfig:
     skip_connect_type: str = "concat"  # "none" | "add" | "concat"
     dropout: float = 0.1
     max_pos: int = 4096
+    scan_unroll: int = 1  # depth-scan unroll, see DiTConfig.scan_unroll
 
 
 @dataclass(frozen=True)
@@ -150,6 +151,7 @@ class MMDiTConfig:
     qk_norm: Optional[str] = None
     dropout: float = 0.1
     max_pos: int = 4096
+    scan_unroll: int = 1  # depth-scan unroll, see DiTConfig.scan_unroll
 
 
 @dataclass(frozen=True)

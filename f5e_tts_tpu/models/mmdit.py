@@ -169,7 +169,8 @@ def mmdit_forward(
                                context_pre_only=False, compute_dtype=compute_dtype)
         return (hh, ctx), None
 
-    (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"])
+    (h, c), _ = jax.lax.scan(body, (h, c), params["blocks"],
+                             unroll=getattr(cfg, "scan_unroll", 1))
     h, _ = _mmdit_block(params["final_block"], h, c, t_emb, mask, rc, rs, crc, crs, cfg,
                         context_pre_only=True, compute_dtype=compute_dtype)
 

@@ -135,7 +135,8 @@ def unett_forward(
         hh = _unett_layer(layer, hh, mask, rc, rs, cfg, compute_dtype)
         return hh, skip
 
-    h, skips = jax.lax.scan(first_body, h, params["first_half"])
+    h, skips = jax.lax.scan(first_body, h, params["first_half"],
+                            unroll=getattr(cfg, "scan_unroll", 1))
 
     skips_rev = jax.tree.map(lambda a: a[::-1], skips)  # LIFO pop order
 
@@ -148,7 +149,8 @@ def unett_forward(
         hh = _unett_layer(layer, hh, mask, rc, rs, cfg, compute_dtype)
         return hh, None
 
-    h, _ = jax.lax.scan(second_body, h, (params["second_half"], skips_rev))
+    h, _ = jax.lax.scan(second_body, h, (params["second_half"], skips_rev),
+                        unroll=getattr(cfg, "scan_unroll", 1))
 
     h = fnn.rmsnorm(params["norm_out"], h, eps=1e-12)[:, 1:, :]  # unpack time token
     return fnn.linear(params["proj_out"], h.astype(compute_dtype), compute_dtype).astype(jnp.float32)

@@ -205,3 +205,29 @@ def test_mmdit_torch_ckpt_roundtrip(rng):
                                 time=jnp.asarray([0.5], np.float32),
                                 drop_audio_cond=f, drop_text=f, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_mmdit_scan_unroll_equivalent(rng):
+    """MMDiTConfig.scan_unroll: the block scan unrolled matches unroll=1 to
+    ulp tolerance (depth=3, unroll 2 = non-divisible)."""
+    import dataclasses
+
+    from f5e_tts_tpu.models import backbone as fbb
+
+    params, state = fbb.init_backbone(jax.random.PRNGKey(0), CFG, VOCAB)
+    b, n, nt = 2, 24, 8
+    x = rng.standard_normal((b, n, CFG.mel_dim)).astype(np.float32)
+    text = rng.integers(0, VOCAB, (b, nt)).astype(np.int32)
+    time = np.asarray([0.2, 0.8], np.float32)
+    f = jnp.zeros((b,), bool)
+
+    outs = {}
+    for unroll in (1, 2, 3):
+        cfg = dataclasses.replace(CFG, scan_unroll=unroll)
+        pred = fmmdit.mmdit_forward(params, state, cfg, x=jnp.asarray(x),
+                                    cond=jnp.asarray(x), text_ids=jnp.asarray(text),
+                                    time=jnp.asarray(time), drop_audio_cond=f,
+                                    drop_text=f, compute_dtype=jnp.float32)
+        outs[unroll] = np.asarray(pred)
+    for unroll in (2, 3):
+        np.testing.assert_allclose(outs[unroll], outs[1], rtol=1e-5, atol=1e-7)

@@ -108,3 +108,30 @@ def test_unett_matches_torch_reference(rng):
                                 drop_audio_cond=f, drop_text=f, drop_ppg=f,
                                 compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(pred), ref, rtol=2e-3, atol=2e-4)
+
+
+def test_unett_scan_unroll_equivalent(rng):
+    """UNetTConfig.scan_unroll: both depth scans unrolled, output matches
+    unroll=1 to ulp tolerance (depth=4, unroll 2 and 3 = non-divisible)."""
+    import dataclasses
+
+    from f5e_tts_tpu.models import backbone as fbb
+
+    params, state = fbb.init_backbone(jax.random.PRNGKey(0), CFG, VOCAB)
+    b, n, nt = 2, 24, 8
+    x = rng.standard_normal((b, n, CFG.mel_dim)).astype(np.float32)
+    text = rng.integers(0, VOCAB, (b, nt)).astype(np.int32)
+    time = np.asarray([0.3, 0.9], np.float32)
+    f = jnp.zeros((b,), bool)
+
+    outs = {}
+    for unroll in (1, 2, 3):
+        cfg = dataclasses.replace(CFG, scan_unroll=unroll)
+        pred, _ = fbb.forward_train(params, state, cfg, x=jnp.asarray(x),
+                                    cond=jnp.asarray(x), text_ids=jnp.asarray(text),
+                                    time=jnp.asarray(time), drop_audio_cond=f,
+                                    drop_text=f, drop_ppg=f,
+                                    compute_dtype=jnp.float32)
+        outs[unroll] = np.asarray(pred)
+    for unroll in (2, 3):
+        np.testing.assert_allclose(outs[unroll], outs[1], rtol=1e-5, atol=1e-7)
