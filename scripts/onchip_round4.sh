@@ -15,6 +15,8 @@ OUT=${1:-/tmp/onchip_r4}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/.axon_site:$PWD
+# persistent compile cache: tunnel compiles are minutes each; reruns are free
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_tpu_cache}
 
 run() {  # run <tag> <cmd...>
   local tag=$1; shift
