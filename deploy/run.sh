@@ -15,7 +15,8 @@ PORT=${PORT:-8000}
 NFE=${NFE:-16}
 QUANTIZE=${QUANTIZE:-}   # "int8": W8A8 backbone (ops/quant.py)
 WIRE=${WIRE:-float32}    # "int16": on-device pcm16 wav fetch
-XFER_CHUNKS=${XFER_CHUNKS:-1}  # >1: chunked wav fetch (early requests resolve first)
+XFER_CHUNKS=${XFER_CHUNKS:-1}  # >1: chunked wav fetch — measured-NEGATIVE under
+                               # closed-loop load (BENCHMARKS.md round-4); leave at 1
 PRUNE=${PRUNE:-}         # EPSS keep indices into the $NFE sway grid, e.g. "0,1,2,4,8,16"
 CFG=${CFG:-}             # cfg_strength override; "0" = CFG-distilled single-pass serving
 
