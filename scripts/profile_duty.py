@@ -41,31 +41,63 @@ def load_trace(trace_dir: str) -> dict:
 
 
 def device_busy(trace: dict):
-    """(busy_seconds, per-op totals) over the device compute lanes.
+    """(busy_seconds, per-op SELF-time totals) over the device op lanes.
 
     Perfetto JSON: process names mark TPU/device vs host threads; 'ts'/'dur'
-    are microseconds. Busy time = overlap-merged union of complete ('ph'=='X')
-    events on device lanes (XLA op spans)."""
-    # map pid -> process name
+    are microseconds. On TPU the device process has three lanes —
+    "Steps", "XLA Modules" (the whole jitted call as one span), and
+    "XLA Ops" (HLO instructions, NESTED: while.N spans contain their body
+    ops). Summing raw durations double-counts every loop body under its
+    while span (and the whole step under the module span), which is how the
+    first round-4 trace reported categories at 261% of busy. We therefore
+    (a) keep only the "XLA Ops" lanes and (b) report per-op *self* time via
+    a stack sweep (a parent's time minus its children's), so totals sum to
+    device-busy exactly."""
     pnames = {}
+    tnames = {}
     for e in trace.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pnames[e["pid"]] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e.get("args", {}).get("name", "")
     dev_pids = {pid for pid, n in pnames.items()
                 if any(k in n.lower() for k in ("tpu", "device", "/device", "xla"))
                 and "host" not in n.lower()}
     if not dev_pids:  # CPU backend: compute lanes live under the host process
         dev_pids = {pid for pid, n in pnames.items() if "cpu" in n.lower()}
-    spans = []
-    per_op = {}
+    op_lanes = {k for k, n in tnames.items()
+                if k[0] in dev_pids and "xla ops" in n.lower()}
+
+    by_lane = {}
     for e in trace.get("traceEvents", []):
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        lane = (e["pid"], e.get("tid"))
+        if op_lanes and lane not in op_lanes:
             continue
         ts, dur = e.get("ts", 0), e.get("dur", 0)
         if dur <= 0:
             continue
-        spans.append((ts, ts + dur))
-        per_op[e.get("name", "?")] = per_op.get(e.get("name", "?"), 0) + dur
+        by_lane.setdefault(lane, []).append((ts, dur, e.get("name", "?")))
+
+    spans = []
+    per_op = {}
+    for evs in by_lane.values():
+        # self-time stack sweep per lane: events in start order, a child
+        # starts before its parent ends; subtract each child's dur from
+        # the innermost open parent
+        evs.sort(key=lambda x: (x[0], -x[1]))
+        stack = []  # (end_ts, name)
+        for ts, dur, name in evs:
+            spans.append((ts, ts + dur))
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:
+                per_op[stack[-1][1]] = per_op.get(stack[-1][1], 0) - dur
+            per_op[name] = per_op.get(name, 0) + dur
+            stack.append((ts + dur, name))
     spans.sort()
     busy = 0.0
     cur_s = cur_e = None

@@ -33,7 +33,8 @@ from profile_duty import device_busy, load_trace
 # op-name substrings -> category, first match wins (perfetto names are XLA
 # HLO instruction names: fusion.N, dot.N, custom-call.N, copy.N, ...)
 CATEGORIES = (
-    ("attention_kernel", ("flash", "attn", "pallas", "custom-call")),
+    ("attention_kernel", ("flash", "attn", "pallas", "custom-call", "mha")),
+    ("loop/ctrl", ("while", "conditional", "call")),
     ("matmul", ("dot", "convolution", "einsum")),
     ("collective", ("all-reduce", "all-gather", "reduce-scatter",
                     "collective", "ppermute", "all-to-all")),
