@@ -155,16 +155,25 @@ def main():
                             compute_dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(42)
-    # warmup / compile
-    wav = synthesize(params, voc_params, inputs, key)
+    # compile + warm to steady state: the first 2-4 post-compile executions
+    # through the tunnel run up to 3x slower (executable upload / device
+    # ramp) — a paired in-process A/B (scripts/bench_ab.py) showed iter-1 at
+    # 0.059 RTF vs 0.0185 steady at the same config, so a 5-iter mean over a
+    # single warmup call misreports steady-state RTF by ~1.8x.
+    for i in range(4):
+        wav = synthesize(params, voc_params, inputs, jax.random.fold_in(key, 100 + i))
     wav.block_until_ready()
 
-    iters = 5
-    t0 = time.perf_counter()
+    # per-iteration timing, median reported (reference RTF convention is
+    # steady-state serving latency; TRT numbers are likewise post-warmup)
+    iters = 8
+    samples = []
     for i in range(iters):
+        t0 = time.perf_counter()
         wav = synthesize(params, voc_params, inputs, jax.random.fold_in(key, i))
-    wav.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        wav.block_until_ready()
+        samples.append(time.perf_counter() - t0)
+    dt = sorted(samples)[iters // 2]
 
     # full output duration (reference RTF convention); batch>1 divides wall
     # across every utterance produced
