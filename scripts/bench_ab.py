@@ -30,6 +30,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, ".")  # run as `python scripts/bench_ab.py` from the repo root
+
 
 def parse_spec(s: str) -> dict:
     out = {}

@@ -108,11 +108,19 @@ def main():
     compile_s = time.perf_counter() - t0
     assert np.isfinite(float(metrics.loss)), float(metrics.loss)
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        ts, metrics = step(ts, batch, jax.random.fold_in(key, i))
+    # warm to steady state: the first 2-4 post-compile executions through
+    # the tunnel run slower (executable upload / device ramp); see bench.py
+    for i in range(3):
+        ts, metrics = step(ts, batch, jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(metrics.loss)
-    dt = (time.perf_counter() - t0) / args.iters
+
+    samples = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        ts, metrics = step(ts, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(metrics.loss)
+        samples.append(time.perf_counter() - t0)
+    dt = sorted(samples)[len(samples) // 2]
 
     frames = b * n
     fwd = analytic_fwd_flops(model_cfg.arch, b, n, args.text_len)
@@ -127,6 +135,7 @@ def main():
         "model": args.model, "params_m": round(n_params / 1e6, 1),
         "batch": b, "len": n, "frames_per_update": frames,
         "sec_per_update": round(dt, 4),
+        "sec_all": [round(s, 4) for s in samples],
         "frames_per_sec": round(frames / dt, 1),
         "audio_x_realtime": round(frames * hop / sr / dt, 1),
         "mfu_model_pct": round(100 * model_flops / (dt * peak), 2),
