@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -173,7 +174,7 @@ def main():
         wav = synthesize(params, voc_params, inputs, jax.random.fold_in(key, i))
         wav.block_until_ready()
         samples.append(time.perf_counter() - t0)
-    dt = sorted(samples)[iters // 2]
+    dt = statistics.median(samples)
 
     # full output duration (reference RTF convention); batch>1 divides wall
     # across every utterance produced

@@ -7,6 +7,7 @@ point has a pure-Python fallback so the package works without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import List, Optional
@@ -21,6 +22,16 @@ def _native_dir() -> str:
     return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 
 
+def _src_hash(d: str) -> str:
+    h = hashlib.sha256()
+    for name in ("f5e_host.cpp", "Makefile"):
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
@@ -28,11 +39,27 @@ def load_library() -> Optional[ctypes.CDLL]:
     _TRIED = True
     d = _native_dir()
     so = os.path.join(d, "libf5e_host.so")
-    if not os.path.exists(so) and os.path.exists(os.path.join(d, "f5e_host.cpp")):
-        try:
-            subprocess.run(["make", "-C", d], check=True, capture_output=True)
-        except Exception:
-            return None
+    hash_file = so + ".srchash"
+    if os.path.exists(os.path.join(d, "f5e_host.cpp")):
+        # Rebuild when the .so is absent OR stale (source changed since the
+        # last build) — a leftover binary must never shadow an edited
+        # f5e_host.cpp. The source hash is recorded beside the .so.
+        want = _src_hash(d)
+        have = None
+        if os.path.exists(hash_file):
+            try:
+                with open(hash_file) as f:
+                    have = f.read().strip()
+            except OSError:
+                have = None
+        if not os.path.exists(so) or have != want:
+            try:
+                subprocess.run(["make", "-C", d, "-B"], check=True, capture_output=True)
+                with open(hash_file, "w") as f:
+                    f.write(want)
+            except Exception:
+                if not os.path.exists(so):
+                    return None
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)

@@ -8,9 +8,19 @@ snip_edges, remove-DC per frame, preemphasis 0.97, povey window,
 FFT padded to 512, power spectrum, Kaldi-style mel banks (1127*ln(1+f/700),
 low 20 Hz .. Nyquist), log with float-eps floor.
 
-NOTE: torchaudio is not available in this environment; parity is asserted
-against a straight-line numpy implementation of the same published spec
-(tests/test_kaldi.py) — re-validate against torchaudio when available.
+Parity is asserted two ways: a straight-line numpy twin sharing these
+helpers (tests/test_conformer.py) and an INDEPENDENT from-source torch
+re-derivation of the torchaudio algorithm (tests/oracle/
+kaldi_torchaudio_twin.py, golden-tested in tests/test_kaldi_golden.py).
+A banked real-torchaudio golden (tests/test_goldens.py) activates if a
+wheel ever lands.
+
+Known eps-level deviation vs torch: XLA fuses the dc-removal/preemphasis/
+rfft chain and recomputes the mean subtraction with reassociation, so an
+EXACTLY-constant frame leaves |x|*2^-25-scale residue (~-135 dBFS) instead
+of cancelling to exact zero and hitting the log floor. Unreachable by real
+audio (any noise floor sits far above it); linear-domain agreement is at
+int16-scale epsilon (see test_fbank_matches_twin_dc_and_silence).
 """
 
 from __future__ import annotations

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import statistics
 import sys
 import time
 
@@ -125,8 +126,13 @@ def main():
         pss.append(params)
 
     key = jax.random.PRNGKey(42)
-    for f, p in zip(fns, pss):  # compile all before any timing
-        f(p, voc_params, inputs, key).block_until_ready()
+    # compile + warm each config to steady state before any timing: the
+    # first 2-4 post-compile executions run up to 3x slower (see bench.py),
+    # so a single warmup call leaves round 1 ramp-inflated.
+    for f, p in zip(fns, pss):
+        for i in range(4):
+            wav = f(p, voc_params, inputs, jax.random.fold_in(key, 100 + i))
+        wav.block_until_ready()
 
     times = [[] for _ in specs]
     k = 0
@@ -142,7 +148,7 @@ def main():
     audio_s = b * total_frames * hop / sr
     meds = []
     for spec, ts in zip(specs, times):
-        med = sorted(ts)[len(ts) // 2]
+        med = statistics.median(ts)
         rtf = med / audio_s
         meds.append(rtf)
         print(json.dumps({

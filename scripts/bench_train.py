@@ -18,6 +18,7 @@ Run on the real chip:
 
 import argparse
 import json
+import statistics
 import sys
 import time
 
@@ -120,7 +121,7 @@ def main():
         ts, metrics = step(ts, batch, jax.random.fold_in(key, i))
         jax.block_until_ready(metrics.loss)
         samples.append(time.perf_counter() - t0)
-    dt = sorted(samples)[len(samples) // 2]
+    dt = statistics.median(samples)
 
     frames = b * n
     fwd = analytic_fwd_flops(model_cfg.arch, b, n, args.text_len)

@@ -69,6 +69,13 @@ def device_busy(trace: dict):
         dev_pids = {pid for pid, n in pnames.items() if "cpu" in n.lower()}
     op_lanes = {k for k, n in tnames.items()
                 if k[0] in dev_pids and "xla ops" in n.lower()}
+    if dev_pids and not op_lanes and tnames:
+        # Without the "XLA Ops" lane filter, the whole-step "XLA Modules"
+        # span is counted alongside its constituent ops and per-op totals
+        # return to ~2x device-busy — make the regression loud, not silent.
+        print("WARNING: device process found but no 'XLA Ops' lane; "
+              "per-op totals may double-count module/step spans",
+              file=sys.stderr)
 
     by_lane = {}
     for e in trace.get("traceEvents", []):

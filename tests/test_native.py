@@ -45,6 +45,37 @@ def test_native_crossfade_matches_python(lib, rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_stale_so_rebuilds_on_source_change(lib, tmp_path, monkeypatch):
+    """A leftover .so must not shadow an edited f5e_host.cpp (VERDICT r4 #9)."""
+    import shutil
+
+    src = fnat._native_dir()
+    d = tmp_path / "native"
+    shutil.copytree(src, d, ignore=shutil.ignore_patterns("*.so*"))
+    monkeypatch.setattr(fnat, "_native_dir", lambda: str(d))
+    monkeypatch.setattr(fnat, "_LIB", None)
+    monkeypatch.setattr(fnat, "_TRIED", False)
+    assert fnat.load_library() is not None  # fresh build
+    so = d / "libf5e_host.so"
+    first_stat = so.stat()
+    first_hash = (d / "libf5e_host.so.srchash").read_text()
+
+    # unchanged source -> no rebuild
+    monkeypatch.setattr(fnat, "_LIB", None)
+    monkeypatch.setattr(fnat, "_TRIED", False)
+    assert fnat.load_library() is not None
+    assert so.stat().st_mtime_ns == first_stat.st_mtime_ns
+
+    # edited source -> rebuild + hash refresh
+    cpp = d / "f5e_host.cpp"
+    cpp.write_text(cpp.read_text() + "\n// edited\n")
+    monkeypatch.setattr(fnat, "_LIB", None)
+    monkeypatch.setattr(fnat, "_TRIED", False)
+    assert fnat.load_library() is not None
+    assert (d / "libf5e_host.so.srchash").read_text() != first_hash
+    assert so.stat().st_mtime_ns != first_stat.st_mtime_ns
+
+
 def test_native_pack_matches_python(lib, rng):
     from f5e_tts_tpu.data.dataset import pack_batches as py_pack
 
