@@ -270,14 +270,17 @@ class Trainer:
         return os.path.join(self.train_cfg.save_dir, name)
 
     def save_checkpoint(self, ts: fstep.TrainState, last: bool = False):
-        from safetensors.numpy import save_file
-
-        from f5e_tts_tpu.utils.torch_ckpt import dit_to_torch
-
         update = int(ts.update)
         name = "model_last" if last else f"model_{update}"
-        # torch-layout EMA export for interop (like the reference safetensors)
-        if fbb.backbone_kind(self.arch) == "dit":
+        multiproc = jax.process_count() > 1
+        # torch-layout EMA export for interop (like the reference safetensors).
+        # Single-process only: device_get on process-sharded leaves is illegal;
+        # in multi-host runs export offline from the orbax state instead.
+        if fbb.backbone_kind(self.arch) == "dit" and not multiproc:
+            from safetensors.numpy import save_file
+
+            from f5e_tts_tpu.utils.torch_ckpt import dit_to_torch
+
             ema_host = jax.tree.map(np.asarray, jax.device_get(ts.ema_params))
             state_host = jax.tree.map(np.asarray, jax.device_get(ts.model_state))
             sd = dit_to_torch(ema_host, state_host, self.arch)
@@ -288,12 +291,23 @@ class Trainer:
 
         path = os.path.abspath(self._ckpt_path(f"{name}.orbax"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(ts), force=True)
+        if multiproc:
+            # collective save: every process writes its addressable shards of
+            # the GLOBAL arrays (device_get would throw on non-addressable
+            # leaves). All processes must call this together.
+            ckptr.save(path, ts, force=True)
+        else:
+            ckptr.save(path, jax.device_get(ts), force=True)
         ckptr.wait_until_finished()
-        with open(self._ckpt_path(f"{name}.meta.json"), "w") as f:
-            json.dump({"update": update}, f)
-        if not last:
-            self._rotate()
+        if jax.process_index() == 0:
+            with open(self._ckpt_path(f"{name}.meta.json"), "w") as f:
+                json.dump({"update": update}, f)
+            if not last:
+                self._rotate()
+        if multiproc:
+            from f5e_tts_tpu.parallel import multihost
+
+            multihost.barrier(f"ckpt_{name}_{update}")
 
     def _rotate(self):
         keep = self.train_cfg.keep_last_n_checkpoints
@@ -332,6 +346,14 @@ class Trainer:
             return ts
         path = os.path.abspath(os.path.join(d, candidates[0]))
         ckptr = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            # collective restore straight into the live shardings: the target
+            # is abstract (shape/dtype/sharding), each process reads only its
+            # addressable shards
+            target = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+                if hasattr(x, "sharding") else x, ts)
+            return ckptr.restore(path, target)
         restored = ckptr.restore(path, jax.device_get(ts))
         return jax.tree.map(
             lambda old, new: jax.device_put(jnp.asarray(new), old.sharding)
@@ -378,6 +400,10 @@ class Trainer:
         step = self.make_step()
         shardings = self.batch_shardings()
         rng = jax.random.PRNGKey(tc.seed)
+        if jax.process_count() > 1:
+            # commit the (identical-everywhere) key as a replicated global
+            # array so the jitted step accepts it over the multi-host mesh
+            rng = jax.device_put(rng, NamedSharding(self.mesh, P()))
 
         # preemption handling (the reference has none — SURVEY §5): a SIGTERM
         # requests a final model_last save at the next step boundary so the
@@ -415,6 +441,19 @@ class Trainer:
                     jnp.asarray(batch["audio_16k_lens"]))
                 batch["ppg"] = np.asarray(ppg)
                 batch["ppg_lens"] = np.asarray(ppg_lens)
+            if jax.process_count() > 1:
+                # each process's loader carries its LOCAL slice of the global
+                # batch (dim 0); assemble per-process shards into global
+                # arrays — device_put of a full array onto a sharding with
+                # non-addressable devices is illegal (the multihost analogue
+                # of Accelerate's per-rank dataloader shards)
+                def put(v, sh):
+                    v = np.asarray(v)
+                    gshape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+                    return jax.make_array_from_process_local_data(sh, v, gshape)
+
+                return {k: put(v, shardings[k]) for k, v in batch.items()
+                        if k in shardings}
             return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()
                     if k in shardings}
 

@@ -12,6 +12,8 @@ from f5e_tts_tpu.models import dit as fdit
 from f5e_tts_tpu.serving.batcher import DynamicBatcher
 from f5e_tts_tpu.utils.text import list_str_to_idx
 
+pytestmark = pytest.mark.core
+
 MEL = MelConfig(n_fft=256, hop_length=64, win_length=256, n_mel_channels=12,
                 target_sample_rate=8000)
 ARCH = DiTConfig(dim=32, depth=1, heads=1, dim_head=32, ff_mult=2, mel_dim=12,

@@ -9,6 +9,8 @@ from f5e_tts_tpu.config import CFMConfig, DiTConfig
 from f5e_tts_tpu.models import cfm as fcfm
 from f5e_tts_tpu.models import dit as fdit
 
+pytestmark = pytest.mark.core
+
 TINY = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=10,
                  text_dim=32, conv_layers=1, dropout=0.0)
 CFM = CFMConfig()

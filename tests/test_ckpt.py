@@ -9,6 +9,8 @@ from f5e_tts_tpu.config import DiTConfig, PPGConfig, CodebookConfig
 from f5e_tts_tpu.models import dit as fdit
 from f5e_tts_tpu.utils import torch_ckpt as fckpt
 
+pytestmark = pytest.mark.core
+
 CFG = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=10,
                 text_dim=32, conv_layers=2, dropout=0.0,
                 ppg=PPGConfig(use_ppg=True, ppg_dim=12),

@@ -5,6 +5,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from f5e_tts_tpu.ops import mas as fmas
+import pytest
+
+pytestmark = pytest.mark.core
 
 
 def _numpy_maximum_path(value, t_ys, t_xs):

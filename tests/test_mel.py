@@ -8,6 +8,8 @@ import torch
 from f5e_tts_tpu.config import MelConfig
 from f5e_tts_tpu.ops import mel as fmel
 
+pytestmark = pytest.mark.core
+
 
 def _torch_stft_mag(wav, n_fft, hop, win_length, center, pad_mode="reflect"):
     w = torch.hann_window(win_length)

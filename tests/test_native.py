@@ -5,6 +5,8 @@ import pytest
 
 from f5e_tts_tpu import native as fnat
 
+pytestmark = pytest.mark.core
+
 
 @pytest.fixture(scope="module")
 def lib():

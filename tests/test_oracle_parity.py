@@ -25,6 +25,8 @@ from f5e_tts_tpu.utils.torch_ckpt import dit_from_torch, dit_to_torch
 
 from tests.oracle import loader
 
+pytestmark = pytest.mark.core
+
 
 @pytest.fixture(scope="module")
 def ref():

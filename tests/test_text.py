@@ -5,6 +5,8 @@ import pytest
 
 from f5e_tts_tpu.utils import text as ftext
 
+pytestmark = pytest.mark.core
+
 
 def test_g2p_mix_vocab():
     vocab = ftext.g2p_mix_vocab()
