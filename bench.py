@@ -71,6 +71,34 @@ def _ensure_backend(metric: str) -> None:
     sys.exit(0)
 
 
+def _note_blocked_artifacts() -> None:
+    """One stderr line naming the still-blocked reference artifacts.
+
+    VERDICT r4 #8: every round's BENCH record should carry the blocked list
+    so 'real-ckpt parity pending' stays visible. stderr keeps stdout's
+    one-JSON-line contract intact.
+    """
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "artifact_watch",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "artifact_watch.py"))
+        aw = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(aw)
+        found = aw.scan()
+        blocked = [k for k, v in found.items() if not v]
+        if blocked:
+            print(f"NOTE blocked artifacts (parity pending): {','.join(blocked)}",
+                  file=sys.stderr)
+        else:
+            print("NOTE all reference artifacts present — run scripts/artifact_watch.py",
+                  file=sys.stderr)
+    except Exception:
+        pass
+
+
 def main():
     # optional overrides: the driver runs bare (NFE-32 bs-1 headline);
     # --nfe 16 reproduces the reference's production serving configuration
@@ -182,6 +210,7 @@ def main():
     rtf = dt / audio_s
     # L20 TRT-LLM at NFE=16 (README.md:65), NFE-normalized to the measured nfe
     baseline_rtf = 0.0402 * (nfe / 16)
+    _note_blocked_artifacts()  # lands adjacent to the metric in BENCH tails
     print(json.dumps({
         "metric": f"rtf_nfe{nfe}_bs{b}",
         "value": round(rtf, 5),

@@ -58,7 +58,7 @@ def _configs(args):
                             cfm=CFMConfig())
     train_cfg = TrainConfig(
         learning_rate=2e-4, num_warmup_updates=200,
-        save_per_updates=10 ** 9, last_per_updates=10 ** 9,
+        save_per_updates=10 ** 9, last_per_updates=500,
         save_dir=os.path.join(args.dir, "teacher"),
         compute_dtype="float32", seed=0,
         mesh=MeshConfig(data=1, model=1, seq=1))
