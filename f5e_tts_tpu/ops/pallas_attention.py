@@ -230,25 +230,316 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# autodiff: pallas forward + pallas flash-style backward (custom VJP)
+# packed-heads variants: all heads of one batch row per grid cell.
 #
-# The backward recomputes softmax(qK^T) per (head, q-block) cell — full K/V in
-# VMEM, no saved stats, no score HBM traffic — and forms dQ per cell while
-# accumulating dK/dV across the sequential q-block grid dimension in fp32
-# output refs (standard Pallas revisited-output accumulation). Shapes outside
-# the VMEM gate fall back to a chunked XLA-recompute backward.
+# The per-(batch*head) kernels above need q/k/v transposed to (b*h, n, dh) —
+# at Base training shapes (b32 n1664 h16 dh64) those relayouts plus the fp32
+# dK/dV converts cost ~130 ms of a 1.65 s step (round-5 trace: eleven
+# (32,1664,16,64) copies at ~6.5 ms each + two 22 ms converts). The packed
+# kernels instead take the arrays exactly as the qkv projection produces
+# them — (b, n, h*dh), a FREE reshape — and slice heads on the lane dim
+# inside VMEM (static 64-lane slices, a cheap relayout). Zero HBM-level
+# transposes in either direction; bf16 outputs everywhere.
+#
+# MXU work per head is identical (the dh=64 contraction cap is unchanged);
+# this is purely a memory-system win. VMEM: the whole row's K/V/Krot plus
+# fp32 dK/dV accumulators live per cell (~43 MB at Base bwd with bq=416),
+# hence the explicit vmem_limit_bytes — v5e/v6e have 128 MB.
 # ---------------------------------------------------------------------------
 
 
+def _packed_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, cos_q_ref, sin_q_ref,
+                        cos_k_ref, sin_k_ref, o_ref, krot_ref, *,
+                        sm_scale: float, heads: int, dh: int, rope_heads: int):
+    """One (batch, q-block) cell: softmax(q_h K_h^T) V_h for ALL heads h.
+
+    Head slices are static lane slices of the (rows, heads*dh) VMEM tiles;
+    rope gating per head is a *Python* conditional (head index is static in
+    the unrolled loop), so non-rope heads pay zero where-penalty."""
+    ib = pl.program_id(0)
+    iq = pl.program_id(1)
+    kv_len = kv_len_ref[ib]
+    dtype = q_ref.dtype
+
+    cos_k, sin_k = cos_k_ref[...], sin_k_ref[...]
+
+    @pl.when(iq == 0)
+    def _rotate_k():
+        kf = k_ref[0].astype(jnp.float32)           # (n, heads*dh)
+        cols = []
+        for h in range(heads):
+            kh = kf[:, h * dh:(h + 1) * dh]
+            cols.append(kh * cos_k + _rot_half(kh) * sin_k
+                        if h < rope_heads else kh)
+        krot_ref[...] = jnp.concatenate(cols, axis=-1).astype(dtype)
+
+    qf = q_ref[0].astype(jnp.float32)               # (block_q, heads*dh)
+    v = v_ref[0]                                    # (n, heads*dh)
+    cos_q, sin_q = cos_q_ref[...], sin_q_ref[...]
+
+    outs = []
+    col = None
+    for h in range(heads):
+        qh = qf[:, h * dh:(h + 1) * dh]
+        if h < rope_heads:
+            qh = qh * cos_q + _rot_half(qh) * sin_q
+        qh = (qh * sm_scale).astype(dtype)
+        kh = krot_ref[:, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (block_q, n)
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(dtype), v[:, h * dh:(h + 1) * dh],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(l, 1e-30)
+        outs.append(o)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rope_heads", "block_q", "interpret"))
+def mha_packed_rope(q, k, v, kv_lens, cos, sin, rope_heads: int,
+                    block_q: int = 512, interpret: bool = False):
+    """Packed-heads fused rope+attention. Same contract as mha_fullkv_rope
+    ((B, N, H, dh) in and out) but with zero HBM transposes: the (B, N, H*dh)
+    view is a free reshape on both sides."""
+    b, n, h, dh = q.shape
+    hd = h * dh
+    block_q = _fit_block_q(n, block_q)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    spec_q = pl.BlockSpec((1, block_q, hd), lambda ib, iq, s_: (ib, iq, 0))
+    spec_full = pl.BlockSpec((1, n, hd), lambda ib, iq, s_: (ib, 0, 0))
+    rope_q = pl.BlockSpec((block_q, dh), lambda ib, iq, s_: (iq, 0))
+    rope_k = pl.BlockSpec((n, dh), lambda ib, iq, s_: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_packed_rope_kernel, sm_scale=sm_scale, heads=h,
+                          dh=dh, rope_heads=rope_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n // block_q),
+            in_specs=[spec_q, spec_full, spec_full,
+                      rope_q, rope_q, rope_k, rope_k],
+            out_specs=spec_q,
+            scratch_shapes=[pltpu.VMEM((n, hd), q.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q.reshape(b, n, hd), k.reshape(b, n, hd),
+      v.reshape(b, n, hd), cos.astype(jnp.float32), sin.astype(jnp.float32),
+      cos.astype(jnp.float32), sin.astype(jnp.float32))
+    return out.reshape(b, n, h, dh)
+
+
+def _packed_rope_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
+                            cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
+                            dq_ref, dk_ref, dv_ref, krot_ref, dk_acc, dv_acc,
+                            *, sm_scale: float, heads: int, dh: int,
+                            rope_heads: int):
+    """Packed-heads attention backward: one (batch, q-block) cell recomputes
+    softmax and forms dQ/dK/dV for all heads. dK/dV accumulate in fp32 VMEM
+    scratch over the sequential q-block dim; the rope adjoint applies once at
+    the last q-block and everything flushes to bf16 outputs."""
+    ib = pl.program_id(0)
+    iq = pl.program_id(1)
+    kv_len = kv_len_ref[ib]
+    dtype = q_ref.dtype
+
+    cos_k, sin_k = cos_k_ref[...], sin_k_ref[...]
+
+    @pl.when(iq == 0)
+    def _rotate_k():
+        kf = k_ref[0].astype(jnp.float32)
+        cols = []
+        for h in range(heads):
+            kh = kf[:, h * dh:(h + 1) * dh]
+            cols.append(kh * cos_k + _rot_half(kh) * sin_k
+                        if h < rope_heads else kh)
+        krot_ref[...] = jnp.concatenate(cols, axis=-1).astype(dtype)
+
+    qf = q_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    do = do_ref[0]
+    cos_q, sin_q = cos_q_ref[...], sin_q_ref[...]
+
+    dqs, dks, dvs = [], [], []
+    col = None
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = qf[:, sl]
+        if h < rope_heads:
+            qh = qh * cos_q + _rot_half(qh) * sin_q
+        qh = (qh * sm_scale).astype(dtype)          # q' = sm_scale * q_rot
+        kh = krot_ref[:, sl]
+        doh = do[:, sl]
+
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        pt = jnp.exp(s - m)                         # unnormalized p~
+        linv = 1.0 / jnp.maximum(jnp.sum(pt, axis=-1, keepdims=True), 1e-30)
+
+        dp = jax.lax.dot_general(
+            doh, v[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = linv * jnp.sum(pt * dp, axis=-1, keepdims=True)
+        ds = (pt * (dp - delta) * linv).astype(dtype)
+        pb = pt.astype(dtype)
+        dol = (doh.astype(jnp.float32) * linv).astype(dtype)
+
+        dqr = jax.lax.dot_general(
+            ds, kh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        if h < rope_heads:
+            dqr = dqr * cos_q - _rot_half(dqr * sin_q)
+        dqs.append(dqr)
+        dks.append(jax.lax.dot_general(
+            ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))                                          # rotated frame; adjoint at flush
+        dvs.append(jax.lax.dot_general(
+            pb, dol, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dtype)
+    dk_c = jnp.concatenate(dks, axis=-1)
+    dv_c = jnp.concatenate(dvs, axis=-1)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = dk_c
+        dv_acc[...] = dv_c
+
+    @pl.when(iq > 0)
+    def _accum():
+        dk_acc[...] += dk_c
+        dv_acc[...] += dv_c
+
+    @pl.when(iq == pl.num_programs(1) - 1)
+    def _flush():
+        acc = dk_acc[...]
+        cols = []
+        for h in range(heads):
+            ah = acc[:, h * dh:(h + 1) * dh]
+            cols.append(ah * cos_k - _rot_half(ah * sin_k)
+                        if h < rope_heads else ah)
+        dk_ref[0] = jnp.concatenate(cols, axis=-1).astype(dtype)
+        dv_ref[0] = dv_acc[...].astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rope_heads", "block_q", "interpret"))
+def mha_packed_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
+                        block_q: int = 256, interpret: bool = False):
+    """Packed-heads backward of mha_packed_rope: (dq, dk, dv), (B, N, H, dh),
+    zero HBM transposes and bf16 outputs."""
+    b, n, h, dh = q.shape
+    hd = h * dh
+    block_q = _fit_block_q(n, block_q)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    spec_q = pl.BlockSpec((1, block_q, hd), lambda ib, iq, s_: (ib, iq, 0))
+    spec_full = pl.BlockSpec((1, n, hd), lambda ib, iq, s_: (ib, 0, 0))
+    rope_q = pl.BlockSpec((block_q, dh), lambda ib, iq, s_: (iq, 0))
+    rope_k = pl.BlockSpec((n, dh), lambda ib, iq, s_: (0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_rope_bwd_kernel, sm_scale=sm_scale, heads=h,
+                          dh=dh, rope_heads=rope_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n // block_q),
+            in_specs=[spec_q, spec_full, spec_full, spec_q,
+                      rope_q, rope_q, rope_k, rope_k],
+            out_specs=[spec_q, spec_full, spec_full],
+            scratch_shapes=[pltpu.VMEM((n, hd), q.dtype),
+                            pltpu.VMEM((n, hd), jnp.float32),
+                            pltpu.VMEM((n, hd), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, n, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, n, hd), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q.reshape(b, n, hd), k.reshape(b, n, hd),
+      v.reshape(b, n, hd), g.reshape(b, n, hd),
+      cos.astype(jnp.float32), sin.astype(jnp.float32),
+      cos.astype(jnp.float32), sin.astype(jnp.float32))
+
+    def unpack(x):
+        return x.reshape(b, n, h, dh)
+
+    return unpack(dq), unpack(dk), unpack(dv)
+
+
+def packed_supported(q, rope: bool = True, block_q: int = 256,
+                     bwd: bool = False) -> bool:
+    """VMEM gate for the packed-heads kernels: the whole row's K/V/Krot (and
+    in the backward, fp32 dK/dV accumulators) live in one cell."""
+    b, n, h, dh = q.shape
+    if n % 128 or dh not in (64, 128):
+        return False
+    hd = h * dh
+    block_q = _fit_block_q(n, block_q)
+    vmem = (3 * n * hd * 2              # K, V, Krot scratch bf16
+            + 2 * block_q * n * 4       # s/p, dp fp32 transients
+            + 4 * block_q * hd * 2)     # q, o/do blocks (double-buffered)
+    if bwd:
+        vmem += (2 * n * hd * 4         # dK/dV fp32 accumulators
+                 + 2 * n * hd * 2       # dK/dV bf16 output blocks
+                 + 2 * block_q * n * 4)  # ds + one more score-sized transient
+    if rope:
+        vmem += 2 * (n + block_q) * dh * 4
+    return vmem < 96 * 1024 * 1024
+
+
+def _use_packed() -> bool:
+    """Packed-heads dispatch toggle: F5E_ATTN_PACKED=0 disables, =1 forces
+    (still behind the VMEM gate), unset = on (measured faster at every
+    DiT shape: the transposes it removes were ~8% of the Base train step)."""
+    import os
+
+    return os.environ.get("F5E_ATTN_PACKED", "1") != "0"
+
+
 def _attn_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, *, sm_scale: float, heads: int):
+                     dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                     *, sm_scale: float, heads: int):
     """One (batch*head, q-block) cell of the attention backward.
 
     Recomputes p = softmax(q K^T) for the block, then
       dV += p^T dO;  dP = dO V^T;  dS = p ∘ (dP − rowsum(p ∘ dP)) · scale;
       dQ = dS K;     dK += dS^T q.
-    dK/dV live in fp32 output refs revisited across the (sequential) q-block
-    dim; masked-out key columns have p = dS = 0 so they contribute nothing.
+    dK/dV accumulate in fp32 VMEM *scratch* across the (sequential) q-block
+    dim and are written ONCE to bf16 output refs at the last q-block — the
+    HBM flush and the downstream convert run at half the fp32-output cost
+    (round-5 trace: the two fp32->bf16 converts alone were 44 ms/step at
+    Base b32). Masked-out key columns have p = dS = 0 so they contribute
+    nothing.
     """
     iq = pl.program_id(1)
     bh = pl.program_id(0)
@@ -303,13 +594,18 @@ def _attn_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
 
     @pl.when(iq == 0)
     def _init():
-        dk_ref[0] = dk_c
-        dv_ref[0] = dv_c
+        dk_acc[...] = dk_c
+        dv_acc[...] = dv_c
 
     @pl.when(iq > 0)
     def _accum():
-        dk_ref[0] += dk_c
-        dv_ref[0] += dv_c
+        dk_acc[...] += dk_c
+        dv_acc[...] += dv_c
+
+    @pl.when(iq == pl.num_programs(1) - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
@@ -334,11 +630,13 @@ def mha_fullkv_bwd(q, k, v, kv_lens, g, block_q: int = 128,
             grid=grid,
             in_specs=[bh_spec_q, bh_spec_full, bh_spec_full, bh_spec_q],
             out_specs=[bh_spec_q, bh_spec_full, bh_spec_full],
+            scratch_shapes=[pltpu.VMEM((n, dh), jnp.float32),
+                            pltpu.VMEM((n, dh), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, dh), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -354,8 +652,8 @@ def mha_fullkv_bwd(q, k, v, kv_lens, g, block_q: int = 128,
 
 def _attn_bwd_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
                           cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
-                          dq_ref, dk_ref, dv_ref, krot_ref, *, sm_scale: float,
-                          heads: int, rope_heads: int):
+                          dq_ref, dk_ref, dv_ref, krot_ref, dk_acc, dv_acc,
+                          *, sm_scale: float, heads: int, rope_heads: int):
     """Backward with rope fused: rotate q/k on entry (same as the fwd kernel),
     run the standard backward on rotated tensors, then pull dq/dk back through
     the rotation adjoint: f(x) = cos∘x + sin∘rot_half(x) has
@@ -426,19 +724,21 @@ def _attn_bwd_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
 
     @pl.when(iq == 0)
     def _init():
-        dk_ref[0] = dkr          # rotated-frame accumulation; adjoint below
-        dv_ref[0] = dv_c
+        dk_acc[...] = dkr        # rotated-frame accumulation; adjoint below
+        dv_acc[...] = dv_c
 
     @pl.when(iq > 0)
     def _accum():
-        dk_ref[0] += dkr
-        dv_ref[0] += dv_c
+        dk_acc[...] += dkr
+        dv_acc[...] += dv_c
 
     @pl.when(iq == pl.num_programs(1) - 1)
-    def _adjoint_dk():
-        acc = dk_ref[0]
+    def _flush():
+        acc = dk_acc[...]
         cos_k, sin_k = cos_k_ref[...], sin_k_ref[...]
-        dk_ref[0] = jnp.where(use_rope, acc * cos_k - _rot_half(acc * sin_k), acc)
+        adj = jnp.where(use_rope, acc * cos_k - _rot_half(acc * sin_k), acc)
+        dk_ref[0] = adj.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("rope_heads", "block_q", "interpret"))
@@ -466,12 +766,14 @@ def mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
             in_specs=[bh_spec_q, bh_spec_full, bh_spec_full, bh_spec_q,
                       rope_q, rope_q, rope_k, rope_k],
             out_specs=[bh_spec_q, bh_spec_full, bh_spec_full],
-            scratch_shapes=[pltpu.VMEM((n, dh), q.dtype)],
+            scratch_shapes=[pltpu.VMEM((n, dh), q.dtype),
+                            pltpu.VMEM((n, dh), jnp.float32),
+                            pltpu.VMEM((n, dh), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, n, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, dh), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -497,11 +799,12 @@ def bwd_supported(q: jnp.ndarray, k: jnp.ndarray, block_q: int = 128,
     block_q = _fit_block_q(n, block_q)
     vmem = (2 * n * dh * 2            # K, V bf16
             + 3 * block_q * n * 4     # s/p, dp, ds fp32
-            + 2 * n * dh * 4          # dK, dV fp32 accumulators
+            + 2 * n * dh * 4          # dK, dV fp32 scratch accumulators
+            + 2 * n * dh * 2          # dK, dV bf16 output blocks
             + 3 * block_q * dh * 4)   # q, dO, dq
     if rope:
         vmem += 2 * (n + block_q) * dh * 4 + n * dh * 2  # cos/sin + K scratch
-    return vmem < 12 * 1024 * 1024
+    return vmem < 24 * 1024 * 1024
 
 
 _BWD_HEAD_CHUNK = 4  # bounds the (B, Hc, N, N) fp32 score tensors in the bwd
@@ -562,15 +865,20 @@ def _fullkv_fwd(q, k, v, kv_lens):
 
 
 def _bwd_block_q(q, k, rope: bool):
-    """Largest VMEM-fitting backward block request. The 256 request fits to
-    the largest <=256 divisor of n (208 at n=1664, where it measured ~10%
-    faster than block 128: 6.50 -> 5.87 ms/layer); falls back to a 128
-    request for long buckets where the three (block_q, n) fp32 buffers
-    won't fit. Returns None (-> chunked XLA fallback) off-TPU: Mosaic
-    kernels only compile for the TPU backend."""
+    """Largest VMEM-fitting backward block request. The 512 request fits to
+    the largest <=512 divisor of n (416 at n=1664 — round-5 on-chip sweep;
+    the earlier 256-request fit of 208 measured ~10% faster than block 128:
+    6.50 -> 5.87 ms/layer); falls back down the ladder for long buckets
+    where the three (block_q, n) fp32 buffers won't fit. Override with
+    F5E_ATTN_BWD_BLOCK=<int> for sweeps. Returns None (-> chunked XLA
+    fallback) off-TPU: Mosaic kernels only compile for the TPU backend."""
     if jax.default_backend() != "tpu":
         return None
-    for bq in (256, 128):
+    import os
+
+    env = os.environ.get("F5E_ATTN_BWD_BLOCK")
+    ladder = (int(env),) if env else (512, 256, 128)
+    for bq in ladder:
         if bwd_supported(q, k, block_q=bq, rope=rope):
             return bq
     return None
@@ -590,18 +898,35 @@ def _fullkv_bwd(res, g):
 mha_fullkv_ad.defvjp(_fullkv_fwd, _fullkv_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def mha_fullkv_rope_ad(q, k, v, kv_lens, cos, sin, rope_heads):
+def _rope_primal(q, k, v, kv_lens, cos, sin, rope_heads):
+    """Fused rope+attention forward: packed-heads (no HBM transposes) when it
+    fits, per-(batch*head) otherwise."""
+    if (_use_packed() and jax.default_backend() == "tpu"
+            and packed_supported(q, block_q=512)):
+        return mha_packed_rope(q, k, v, kv_lens, cos, sin, rope_heads)
     return mha_fullkv_rope(q, k, v, kv_lens, cos, sin, rope_heads)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def mha_fullkv_rope_ad(q, k, v, kv_lens, cos, sin, rope_heads):
+    return _rope_primal(q, k, v, kv_lens, cos, sin, rope_heads)
+
+
 def _rope_fwd(q, k, v, kv_lens, cos, sin, rope_heads):
-    return (mha_fullkv_rope(q, k, v, kv_lens, cos, sin, rope_heads),
+    return (_rope_primal(q, k, v, kv_lens, cos, sin, rope_heads),
             (q, k, v, kv_lens, cos, sin))
 
 
 def _rope_bwd(rope_heads, res, g):
     q, k, v, kv_lens, cos, sin = res
+    if _use_packed() and jax.default_backend() == "tpu":
+        import os
+
+        bq = int(os.environ.get("F5E_ATTN_BWD_BLOCK", "256"))
+        if packed_supported(q, bwd=True, block_q=bq):
+            dq, dk, dv = mha_packed_rope_bwd(q, k, v, kv_lens, cos, sin, g,
+                                             rope_heads, block_q=bq)
+            return dq, dk, dv, None, None, None
     bq = _bwd_block_q(q, k, rope=True)
     if bq is not None:
         dq, dk, dv = mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g,

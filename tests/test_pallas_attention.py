@@ -260,11 +260,78 @@ def test_joint_pallas_bwd_matches_reference_vjp(rng):
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-3, atol=2e-3)
 
 
+def test_packed_rope_matches_reference(rng):
+    """Packed-heads forward (all heads per cell, zero HBM transposes) must
+    match the XLA rope-attention reference, incl. partial pe_attn_head."""
+    from f5e_tts_tpu.ops.rope import rotary_cos_sin_half
+
+    b, n, h, dh = 2, 256, 4, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    kv_lens = jnp.asarray([n, 200], jnp.int32)
+    cos, sin = rotary_cos_sin_half(dh, n)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    for rope_heads in (h, 1):
+        ours = np.asarray(pa.mha_packed_rope(q, k, v, kv_lens, cos, sin,
+                                             rope_heads, block_q=128,
+                                             interpret=True))
+        ref = np.asarray(pa._reference_rope_attn(q, k, v, kv_lens, cos, sin,
+                                                 rope_heads))
+        np.testing.assert_allclose(ours[0], ref[0], rtol=2e-3, atol=2e-3,
+                                   err_msg=f"rope_heads={rope_heads}")
+        np.testing.assert_allclose(ours[1, :200], ref[1, :200], rtol=2e-3,
+                                   atol=2e-3)
+
+
+def test_packed_rope_bwd_matches_reference_vjp(rng):
+    """Packed-heads backward (fp32 scratch accumulation, bf16 outputs) must
+    match differentiating the XLA reference — all-heads and partial rope, and
+    at a block_q that exercises multi-block accumulation."""
+    from f5e_tts_tpu.ops.rope import rotary_cos_sin_half
+
+    b, n, h, dh = 2, 256, 4, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v, g = mk(), mk(), mk(), mk()
+    kv_lens = jnp.asarray([n, 200], jnp.int32)
+    cos, sin = rotary_cos_sin_half(dh, n)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    for rope_heads in (h, 1):
+        dq, dk, dv = pa.mha_packed_rope_bwd(q, k, v, kv_lens, cos, sin, g,
+                                            rope_heads, block_q=128,
+                                            interpret=True)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: pa._reference_rope_attn(q_, k_, v_, kv_lens,
+                                                       cos, sin, rope_heads),
+            q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dq rope_heads={rope_heads}")
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dk rope_heads={rope_heads}")
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dv rope_heads={rope_heads}")
+
+
+def test_packed_supported_gate():
+    qt = jnp.zeros((32, 1664, 16, 64), jnp.bfloat16)  # Base training bucket
+    assert pa.packed_supported(qt, block_q=512)
+    assert pa.packed_supported(qt, bwd=True, block_q=256)
+    q2 = jnp.zeros((1, 8192, 16, 128), jnp.bfloat16)
+    assert not pa.packed_supported(q2, bwd=True)
+    q3 = jnp.zeros((1, 1000, 16, 64), jnp.bfloat16)   # n not 128-multiple
+    assert not pa.packed_supported(q3)
+
+
 def test_bwd_supported_gate():
     q = jnp.zeros((1, 1536, 16, 64), jnp.bfloat16)
     assert pa.bwd_supported(q, q)
     assert pa.bwd_supported(q, q, rope=True)
-    q2 = jnp.zeros((1, 4096, 16, 128), jnp.bfloat16)  # rope tables blow VMEM
+    # the training bucket must fit at the 512-request (-> 416 at n=1664)
+    qt = jnp.zeros((32, 1664, 16, 64), jnp.bfloat16)
+    assert pa.bwd_supported(qt, qt, block_q=512, rope=True)
+    q2 = jnp.zeros((1, 8192, 16, 128), jnp.bfloat16)  # blows the VMEM budget
     assert not pa.bwd_supported(q2, q2, rope=True)
     q3 = jnp.zeros((1, 1000, 16, 64), jnp.bfloat16)
     assert not pa.bwd_supported(q3, q3)
