@@ -22,12 +22,14 @@ from f5e_tts_tpu.ops import pallas_attention as pa
 from f5e_tts_tpu.ops.rope import rotary_cos_sin_half
 
 
-def timeit(fn, iters=20):
-    fn()  # compile
-    jax.block_until_ready(fn())
+def timeit(fn, args, iters=20):
+    """fn must take its arrays as ARGUMENTS (closed-over arrays inline into
+    the program and 413 the remote-compile tunnel)."""
+    fn(*args)  # compile
+    jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
+        out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -76,27 +78,29 @@ def main():
     assert dfwd < 3e-2, dfwd
 
     # ---- timing ----
-    fwd_ph = jax.jit(lambda: pa.mha_fullkv_rope(q, k, v, kv_lens, cos, sin,
-                                                rope_heads=rope_heads))
-    fwd_pk = jax.jit(lambda: pa.mha_packed_rope(q, k, v, kv_lens, cos, sin,
-                                                rope_heads=rope_heads))
-    t_ph = timeit(fwd_ph, args.iters)
-    t_pk = timeit(fwd_pk, args.iters)
+    xs = (q, k, v, kv_lens, cos, sin)
+    fwd_ph = jax.jit(lambda q, k, v, l, c, s: pa.mha_fullkv_rope(
+        q, k, v, l, c, s, rope_heads=rope_heads))
+    fwd_pk = jax.jit(lambda q, k, v, l, c, s: pa.mha_packed_rope(
+        q, k, v, l, c, s, rope_heads=rope_heads))
+    t_ph = timeit(fwd_ph, xs, args.iters)
+    t_pk = timeit(fwd_pk, xs, args.iters)
     print(f"fwd  per-head {t_ph*1e3:8.3f} ms   packed {t_pk*1e3:8.3f} ms   "
           f"ratio {t_pk/t_ph:.3f}")
 
+    xg = (q, k, v, kv_lens, cos, sin, g)
     for bq in (128, 256, 512):
         ok_ph = pa.bwd_supported(q, k, block_q=bq, rope=True)
         ok_pk = pa.packed_supported(q, bwd=True, block_q=bq)
         t1 = t2 = float("nan")
         if ok_ph:
-            f1 = jax.jit(lambda bq=bq: pa.mha_fullkv_rope_bwd(
-                q, k, v, kv_lens, cos, sin, g, rope_heads, block_q=bq))
-            t1 = timeit(f1, args.iters)
+            f1 = jax.jit(lambda q, k, v, l, c, s, g, bq=bq: pa.mha_fullkv_rope_bwd(
+                q, k, v, l, c, s, g, rope_heads, block_q=bq))
+            t1 = timeit(f1, xg, args.iters)
         if ok_pk:
-            f2 = jax.jit(lambda bq=bq: pa.mha_packed_rope_bwd(
-                q, k, v, kv_lens, cos, sin, g, rope_heads, block_q=bq))
-            t2 = timeit(f2, args.iters)
+            f2 = jax.jit(lambda q, k, v, l, c, s, g, bq=bq: pa.mha_packed_rope_bwd(
+                q, k, v, l, c, s, g, rope_heads, block_q=bq))
+            t2 = timeit(f2, xg, args.iters)
         fit = pa._fit_block_q(n, bq)
         print(f"bwd  block_q={bq:4d} (fit {fit:4d})  per-head "
               f"{t1*1e3:8.3f} ms   packed {t2*1e3:8.3f} ms")
