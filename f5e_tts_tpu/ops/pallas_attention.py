@@ -518,12 +518,17 @@ def packed_supported(q, rope: bool = True, block_q: int = 256,
 
 
 def _use_packed() -> bool:
-    """Packed-heads dispatch toggle: F5E_ATTN_PACKED=0 disables, =1 forces
-    (still behind the VMEM gate), unset = on (measured faster at every
-    DiT shape: the transposes it removes were ~8% of the Base train step)."""
+    """Packed-heads dispatch toggle: F5E_ATTN_PACKED=1 enables (still behind
+    the VMEM gate), unset/0 = off. Round-5 on-chip verdict: bitwise-equal to
+    the per-head kernels, but END-TO-END NEUTRAL — the Base b32x1664 train
+    step measured 1.530 s/update packed vs 1.521 per-head (tie inside run
+    noise), and isolated kernels were ~4-7% slower (the 16-dot in-kernel
+    head loop schedules worse than 16 grid cells, offsetting the transpose
+    savings). Default stays per-head; the knob remains for future shapes
+    (more heads / larger dh) where the transpose share is bigger."""
     import os
 
-    return os.environ.get("F5E_ATTN_PACKED", "1") != "0"
+    return os.environ.get("F5E_ATTN_PACKED", "0") == "1"
 
 
 def _attn_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
