@@ -12,6 +12,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from f5e_tts_tpu.ops import pallas_attention as pa
 
+pytestmark = pytest.mark.core  # kernel parity is load-bearing and fast (~22 s)
+
 
 def _interpret_fullkv(q, k, v, kv_lens, block_q):
     """Run the kernel in interpreter mode (CPU)."""
