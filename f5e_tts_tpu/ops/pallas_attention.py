@@ -645,6 +645,9 @@ def mha_fullkv_bwd(q, k, v, kv_lens, g, block_q: int = 128,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # same lift as the rope bwd: block_q > 512 exceeds the 16 MB
+            # default scoped-vmem cap; bwd_supported() is the real gate
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v), to_bh(g))
@@ -782,6 +785,10 @@ def mha_fullkv_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # block_q > 512 puts the three (block_q, n) fp32 score tiles past
+            # the 16 MB default scoped-vmem budget; bwd_supported() is the
+            # real gate, so lift the compiler cap to the hardware's ballpark
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), to_bh(q), to_bh(k), to_bh(v), to_bh(g),
@@ -903,13 +910,23 @@ def _fullkv_bwd(res, g):
 mha_fullkv_ad.defvjp(_fullkv_fwd, _fullkv_bwd)
 
 
+def _fwd_block_q() -> int:
+    """Forward block request (fits down via _fit_block_q). 512 measured best
+    at sampler shapes; override with F5E_ATTN_FWD_BLOCK=<int> for sweeps."""
+    import os
+
+    return int(os.environ.get("F5E_ATTN_FWD_BLOCK", "512"))
+
+
 def _rope_primal(q, k, v, kv_lens, cos, sin, rope_heads):
     """Fused rope+attention forward: packed-heads (no HBM transposes) when it
     fits, per-(batch*head) otherwise."""
+    bq = _fwd_block_q()
     if (_use_packed() and jax.default_backend() == "tpu"
-            and packed_supported(q, block_q=512)):
-        return mha_packed_rope(q, k, v, kv_lens, cos, sin, rope_heads)
-    return mha_fullkv_rope(q, k, v, kv_lens, cos, sin, rope_heads)
+            and packed_supported(q, block_q=bq)):
+        return mha_packed_rope(q, k, v, kv_lens, cos, sin, rope_heads,
+                               block_q=bq)
+    return mha_fullkv_rope(q, k, v, kv_lens, cos, sin, rope_heads, block_q=bq)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
