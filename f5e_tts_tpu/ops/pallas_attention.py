@@ -250,14 +250,18 @@ def mha_fullkv_rope(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _packed_rope_kernel(kv_len_ref, q_ref, k_ref, v_ref, cos_q_ref, sin_q_ref,
                         cos_k_ref, sin_k_ref, o_ref, krot_ref, *,
-                        sm_scale: float, heads: int, dh: int, rope_heads: int):
+                        sm_scale: float, heads: int, dh: int, rope_heads: int,
+                        iq_axis: int = 1):
     """One (batch, q-block) cell: softmax(q_h K_h^T) V_h for ALL heads h.
 
     Head slices are static lane slices of the (rows, heads*dh) VMEM tiles;
     rope gating per head is a *Python* conditional (head index is static in
-    the unrolled loop), so non-rope heads pay zero where-penalty."""
+    the unrolled loop), so non-rope heads pay zero where-penalty.
+
+    The head-chunked variant (mha_chunked_rope) reuses this body with
+    heads=head_chunk and a 3D (batch, head-chunk, q-block) grid (iq_axis=2)."""
     ib = pl.program_id(0)
-    iq = pl.program_id(1)
+    iq = pl.program_id(iq_axis)
     kv_len = kv_len_ref[ib]
     dtype = q_ref.dtype
 
@@ -347,13 +351,16 @@ def _packed_rope_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
                             cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
                             dq_ref, dk_ref, dv_ref, krot_ref, dk_acc, dv_acc,
                             *, sm_scale: float, heads: int, dh: int,
-                            rope_heads: int):
+                            rope_heads: int, iq_axis: int = 1):
     """Packed-heads attention backward: one (batch, q-block) cell recomputes
     softmax and forms dQ/dK/dV for all heads. dK/dV accumulate in fp32 VMEM
     scratch over the sequential q-block dim; the rope adjoint applies once at
-    the last q-block and everything flushes to bf16 outputs."""
+    the last q-block and everything flushes to bf16 outputs.
+
+    The head-chunked variant (mha_chunked_rope_bwd) reuses this body with
+    heads=head_chunk and a 3D (batch, head-chunk, q-block) grid (iq_axis=2)."""
     ib = pl.program_id(0)
-    iq = pl.program_id(1)
+    iq = pl.program_id(iq_axis)
     kv_len = kv_len_ref[ib]
     dtype = q_ref.dtype
 
@@ -435,7 +442,7 @@ def _packed_rope_bwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref,
         dk_acc[...] += dk_c
         dv_acc[...] += dv_c
 
-    @pl.when(iq == pl.num_programs(1) - 1)
+    @pl.when(iq == pl.num_programs(iq_axis) - 1)
     def _flush():
         acc = dk_acc[...]
         cols = []
@@ -494,6 +501,152 @@ def mha_packed_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
         return x.reshape(b, n, h, dh)
 
     return unpack(dq), unpack(dk), unpack(dv)
+
+
+# ---------------------------------------------------------------------------
+# Head-CHUNKED packed kernels: the middle ground between per-head (16 grid
+# cells/batch, but ~80 ms/step of HBM (b,n,h,dh)<->(b,h,n,dh) transposes at
+# Base train shape) and fully packed (zero transposes, but a 16-dot in-kernel
+# head loop that schedules ~5% worse, measured end-to-end neutral). A chunk of
+# `head_chunk` heads per grid cell keeps the operands in the projections'
+# native (b, n, h*dh) layout — zero HBM transposes, the lane window is
+# head_chunk*dh wide (128-multiple, the Mosaic constraint that rules out
+# single-head dh=64 windows) — while the grid still exposes b*h/head_chunk
+# parallel cells. Reuses the packed kernel bodies with heads=head_chunk.
+# Restriction: rope all-or-none (rope_heads in {0, h}) — the chunk's rope
+# gate must be static, and which chunk a cell handles is a runtime id.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("rope_heads", "head_chunk",
+                                             "block_q", "interpret"))
+def mha_chunked_rope(q, k, v, kv_lens, cos, sin, rope_heads: int,
+                     head_chunk: int = 2, block_q: int = 512,
+                     interpret: bool = False):
+    """Head-chunked fused rope+attention. Same contract as mha_fullkv_rope
+    ((B, N, H, dh) in/out); operands stay in the packed (B, N, H*dh) layout."""
+    b, n, h, dh = q.shape
+    hc = head_chunk
+    assert rope_heads in (0, h), (rope_heads, h)
+    assert h % hc == 0 and (hc * dh) % 128 == 0, (h, hc, dh)
+    hd, cd = h * dh, hc * dh
+    block_q = _fit_block_q(n, block_q)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    spec_q = pl.BlockSpec((1, block_q, cd), lambda ib, ih, iq, s_: (ib, iq, ih))
+    spec_full = pl.BlockSpec((1, n, cd), lambda ib, ih, iq, s_: (ib, 0, ih))
+    rope_q = pl.BlockSpec((block_q, dh), lambda ib, ih, iq, s_: (iq, 0))
+    rope_k = pl.BlockSpec((n, dh), lambda ib, ih, iq, s_: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_packed_rope_kernel, sm_scale=sm_scale, heads=hc,
+                          dh=dh, rope_heads=(hc if rope_heads else 0),
+                          iq_axis=2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hc, n // block_q),
+            in_specs=[spec_q, spec_full, spec_full,
+                      rope_q, rope_q, rope_k, rope_k],
+            out_specs=spec_q,
+            scratch_shapes=[pltpu.VMEM((n, cd), q.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q.reshape(b, n, hd), k.reshape(b, n, hd),
+      v.reshape(b, n, hd), cos.astype(jnp.float32), sin.astype(jnp.float32),
+      cos.astype(jnp.float32), sin.astype(jnp.float32))
+    return out.reshape(b, n, h, dh)
+
+
+@functools.partial(jax.jit, static_argnames=("rope_heads", "head_chunk",
+                                             "block_q", "interpret"))
+def mha_chunked_rope_bwd(q, k, v, kv_lens, cos, sin, g, rope_heads: int,
+                         head_chunk: int = 2, block_q: int = 512,
+                         interpret: bool = False):
+    """Head-chunked backward of mha_chunked_rope: (dq, dk, dv), (B, N, H, dh),
+    zero HBM transposes and bf16 outputs."""
+    b, n, h, dh = q.shape
+    hc = head_chunk
+    assert rope_heads in (0, h), (rope_heads, h)
+    assert h % hc == 0 and (hc * dh) % 128 == 0, (h, hc, dh)
+    hd, cd = h * dh, hc * dh
+    block_q = _fit_block_q(n, block_q)
+    assert n % block_q == 0, (n, block_q)
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    spec_q = pl.BlockSpec((1, block_q, cd), lambda ib, ih, iq, s_: (ib, iq, ih))
+    spec_full = pl.BlockSpec((1, n, cd), lambda ib, ih, iq, s_: (ib, 0, ih))
+    rope_q = pl.BlockSpec((block_q, dh), lambda ib, ih, iq, s_: (iq, 0))
+    rope_k = pl.BlockSpec((n, dh), lambda ib, ih, iq, s_: (0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_rope_bwd_kernel, sm_scale=sm_scale, heads=hc,
+                          dh=dh, rope_heads=(hc if rope_heads else 0),
+                          iq_axis=2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hc, n // block_q),
+            in_specs=[spec_q, spec_full, spec_full, spec_q,
+                      rope_q, rope_q, rope_k, rope_k],
+            out_specs=[spec_q, spec_full, spec_full],
+            scratch_shapes=[pltpu.VMEM((n, cd), q.dtype),
+                            pltpu.VMEM((n, cd), jnp.float32),
+                            pltpu.VMEM((n, cd), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, n, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, n, hd), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q.reshape(b, n, hd), k.reshape(b, n, hd),
+      v.reshape(b, n, hd), g.reshape(b, n, hd),
+      cos.astype(jnp.float32), sin.astype(jnp.float32),
+      cos.astype(jnp.float32), sin.astype(jnp.float32))
+
+    def unpack(x):
+        return x.reshape(b, n, h, dh)
+
+    return unpack(dq), unpack(dk), unpack(dv)
+
+
+def chunked_supported(q, rope_heads: int, head_chunk: int,
+                      block_q: int = 512, bwd: bool = False) -> bool:
+    """VMEM + shape gate for the head-chunked kernels."""
+    b, n, h, dh = q.shape
+    if (n % 128 or dh not in (64, 128) or head_chunk < 1 or h % head_chunk
+            or (head_chunk * dh) % 128 or rope_heads not in (0, h)):
+        return False
+    cd = head_chunk * dh
+    block_q = _fit_block_q(n, block_q)
+    vmem = (3 * n * cd * 2              # K, V, Krot scratch bf16
+            + 2 * block_q * n * 4       # s/p, dp fp32 transients
+            + 4 * block_q * cd * 2)     # q, o/do blocks (double-buffered)
+    if bwd:
+        vmem += (2 * n * cd * 4         # dK/dV fp32 accumulators
+                 + 2 * n * cd * 2       # dK/dV bf16 output blocks
+                 + 2 * block_q * n * 4)  # ds + one more score-sized transient
+    return vmem < 96 * 1024 * 1024
+
+
+def _head_chunk() -> int:
+    """Head-chunked dispatch knob: F5E_ATTN_HEAD_CHUNK=<int>, 0 = per-head.
+
+    Default 4 — the round-5 on-chip sweep at Base shapes: train step 1.381 vs
+    1.496 s/update per-head (30.7% vs 28.3% MFU), sampler RTF 0.0353 vs
+    0.0369-0.0375 bracketing runs, numerics bitwise-equal. hc=2/8 are worse
+    (1.445 at 8); unsupported shapes (partial rope, h % hc, 64-lane windows)
+    fall back to per-head automatically via chunked_supported()."""
+    import os
+
+    return int(os.environ.get("F5E_ATTN_HEAD_CHUNK", "4"))
 
 
 def packed_supported(q, rope: bool = True, block_q: int = 256,
@@ -919,9 +1072,15 @@ def _fwd_block_q() -> int:
 
 
 def _rope_primal(q, k, v, kv_lens, cos, sin, rope_heads):
-    """Fused rope+attention forward: packed-heads (no HBM transposes) when it
-    fits, per-(batch*head) otherwise."""
+    """Fused rope+attention forward: head-chunked (no HBM transposes, see the
+    chunked section) when enabled and supported, else packed-heads when
+    enabled, else per-(batch*head)."""
     bq = _fwd_block_q()
+    hc = _head_chunk()
+    if (hc and jax.default_backend() == "tpu"
+            and chunked_supported(q, rope_heads, hc, block_q=bq)):
+        return mha_chunked_rope(q, k, v, kv_lens, cos, sin, rope_heads,
+                                head_chunk=hc, block_q=bq)
     if (_use_packed() and jax.default_backend() == "tpu"
             and packed_supported(q, block_q=bq)):
         return mha_packed_rope(q, k, v, kv_lens, cos, sin, rope_heads,
@@ -941,6 +1100,16 @@ def _rope_fwd(q, k, v, kv_lens, cos, sin, rope_heads):
 
 def _rope_bwd(rope_heads, res, g):
     q, k, v, kv_lens, cos, sin = res
+    hc = _head_chunk()
+    if hc and jax.default_backend() == "tpu":
+        import os
+
+        bq = int(os.environ.get("F5E_ATTN_BWD_BLOCK", "512"))
+        if chunked_supported(q, rope_heads, hc, block_q=bq, bwd=True):
+            dq, dk, dv = mha_chunked_rope_bwd(q, k, v, kv_lens, cos, sin, g,
+                                              rope_heads, head_chunk=hc,
+                                              block_q=bq)
+            return dq, dk, dv, None, None, None
     if _use_packed() and jax.default_backend() == "tpu":
         import os
 

@@ -337,3 +337,70 @@ def test_bwd_supported_gate():
     assert not pa.bwd_supported(q2, q2, rope=True)
     q3 = jnp.zeros((1, 1000, 16, 64), jnp.bfloat16)
     assert not pa.bwd_supported(q3, q3)
+
+
+def test_chunked_rope_matches_reference(rng):
+    """Head-chunked forward (head_chunk heads per cell, zero HBM transposes,
+    operands in the packed (B, N, H*dh) layout) must match the XLA reference
+    for every legal chunk size."""
+    from f5e_tts_tpu.ops.rope import rotary_cos_sin_half
+
+    b, n, h, dh = 2, 256, 4, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    kv_lens = jnp.asarray([n, 200], jnp.int32)
+    cos, sin = rotary_cos_sin_half(dh, n)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    ref = np.asarray(pa._reference_rope_attn(q, k, v, kv_lens, cos, sin, h))
+    for hc in (2, 4):
+        ours = np.asarray(pa.mha_chunked_rope(q, k, v, kv_lens, cos, sin, h,
+                                              head_chunk=hc, block_q=128,
+                                              interpret=True))
+        np.testing.assert_allclose(ours[0], ref[0], rtol=2e-3, atol=2e-3,
+                                   err_msg=f"hc={hc}")
+        np.testing.assert_allclose(ours[1, :200], ref[1, :200], rtol=2e-3,
+                                   atol=2e-3, err_msg=f"hc={hc}")
+
+
+def test_chunked_rope_bwd_matches_reference_vjp(rng):
+    """Head-chunked backward must match differentiating the XLA reference,
+    at a block_q that exercises multi-block dK/dV accumulation."""
+    from f5e_tts_tpu.ops.rope import rotary_cos_sin_half
+
+    b, n, h, dh = 2, 256, 4, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, dh)).astype(np.float32))
+    q, k, v, g = mk(), mk(), mk(), mk()
+    kv_lens = jnp.asarray([n, 200], jnp.int32)
+    cos, sin = rotary_cos_sin_half(dh, n)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: pa._reference_rope_attn(q_, k_, v_, kv_lens,
+                                                   cos, sin, h), q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    for hc in (2, 4):
+        dq, dk, dv = pa.mha_chunked_rope_bwd(q, k, v, kv_lens, cos, sin, g, h,
+                                             head_chunk=hc, block_q=128,
+                                             interpret=True)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dq hc={hc}")
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dk hc={hc}")
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), rtol=2e-3,
+                                   atol=2e-3, err_msg=f"dv hc={hc}")
+
+
+def test_chunked_supported_gate():
+    qt = jnp.zeros((32, 1664, 16, 64), jnp.bfloat16)  # Base training bucket
+    assert pa.chunked_supported(qt, 16, 4, block_q=512)
+    assert pa.chunked_supported(qt, 16, 4, block_q=512, bwd=True)
+    assert pa.chunked_supported(qt, 0, 2)             # rope-off also legal
+    # partial rope can't chunk (the per-chunk rope gate must be static)
+    assert not pa.chunked_supported(qt, 1, 2)
+    # single-head dh=64 chunk -> 64-lane window, Mosaic-illegal
+    assert not pa.chunked_supported(qt, 16, 1)
+    # chunk must divide heads
+    assert not pa.chunked_supported(qt, 16, 3)
+    q3 = jnp.zeros((1, 1000, 16, 64), jnp.bfloat16)   # n not 128-multiple
+    assert not pa.chunked_supported(q3, 16, 4)
